@@ -1,38 +1,769 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full inverted-index build + BM25 top-10 over
+the sf0.001 ``documents`` table through the real segment-store engine.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + the training-data-pipeline operators). Every hash
+used by dedup operators is md5-based and portable, so the DuckDB oracles
+reproduce MinHash/SimHash/LSH *bit-identically* — the oracle runs the same
+algorithm, not a lookalike. BM25 oracles recompute the full scoring
+pipeline in SQL (tokenize → tf → df → idf → fold) with the identical
+analyzer regex.
+
+Queries without an oracle entry (driver rows-only check): ``ann_lsh_topk``
+(sign-LSH bucket membership depends on FP sign of dot products — not safely
+portable across engines), ``media_feature_stats`` (binary payloads can't be
+synthesized in SQL).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.config import EngineConfig
+from kafka_connect_opensearch_spark.functions.text import (
+    convert_topic_to_index_name,
+    convert_topic_to_index_name_sql,
+)
+from kafka_connect_opensearch_spark.operators import dedup, multimodal, similarity
+from kafka_connect_opensearch_spark.operators import textstats as ts
+from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
+from kafka_connect_opensearch_spark.operators.convert import (
+    convert_records,
+    upsert_documents,
+)
+from kafka_connect_opensearch_spark.operators.indexer import build_index
+
+# --- shared constants -------------------------------------------------------
+
+K1, B = 1.2, 0.75
+BM25_QUERY = "hash join table"        # analyzer → [hash, join, table]
+COUNT_TERMS = ["table", "merge", "window"]
+DF_TERMS = ["table", "hash", "window", "merge", "scan", "spark"]
+JACCARD_THRESHOLD = 0.4
+COSINE_PAIR_THRESHOLD = 0.45
+
+# DuckDB-side analyzer — identical semantics to functions.analysis.tokenize
+def _toks_sql(col: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), "
+        f"t -> t <> '' AND length(t) <= 256)"
+    )
+
+
+def _h64_sql(expr: str, seed: str) -> str:
+    """Portable hash64 (= dedup.hash64): int(md5(seed||s)[:15 hex], 16)."""
+    return f"('0x' || substr(md5('{seed}' || {expr}), 1, 15))::BIGINT"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# --- flagship index (memoized per sf dir; resume makes rebuilds no-ops) ----
+
+_INDEX_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes")
+
+
+def _get_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = os.path.join(_INDEX_ROOT, f"documents_{tag}")
+    cfg = EngineConfig(num_segments=2, salt_partitions=4, shuffle_partitions=8)
+    docs = _read(spark, sf_dir, "documents")
+    build_index(
+        spark, docs, idx_dir, cfg, content_col="text", doc_id_col="doc_id"
+    )  # resume=True: committed batches are skipped on rebuild
+    return IndexReader(spark, idx_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    reader = _get_index(spark, "/root/testdata/sf0.001")
+    res = reader.search(BM25_QUERY, k=10, mode="or")
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --- query implementations ---------------------------------------------------
+
+
+def _bm25(mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_index(spark, sf_dir)
+        res = reader.search(BM25_QUERY, k=10, mode=mode)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def _match_count(mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_index(spark, sf_dir)
+        n = reader.match_count(" ".join(COUNT_TERMS), mode=mode)
+        return spark.createDataFrame([(n,)], "n long")
+
+    return run
+
+
+def q_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _get_index(spark, sf_dir)
+    return spark.createDataFrame([(reader.doc_count(),)], "n long")
+
+
+def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _get_index(spark, sf_dir)
+    return (
+        reader.postings(DF_TERMS)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy("term")
+    )
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _get_index(spark, sf_dir)
+    return (
+        reader.postings(None)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.token_counts(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.language_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.quality_score(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=16, bands=4, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") > 0), qvec, k=10
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from kafka_connect_opensearch_spark.functions.vectors import cosine_similarity
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return similarity.knn_join(corpus, probes, k=3)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=10, probe_radius=1
+    )
+
+
+def q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4 latest-wins identity over the events stream: newest event per
+    user (ties → highest event_id)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def q_tombstone_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7/E1-E3: null-value tombstones routed per policy (DELETE) with
+    counts per route — 'error' events become tombstones."""
+    from kafka_connect_opensearch_spark.config import (
+        BehaviorOnMalformedDoc,
+        BehaviorOnNullValues,
+    )
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "payload",
+        F.when(F.col("event_type") != "error", F.col("props")),
+    )
+    cfg = EngineConfig(
+        behavior_on_null_values=BehaviorOnNullValues.DELETE,
+        behavior_on_malformed_docs=BehaviorOnMalformedDoc.IGNORE,
+    )
+    batch = convert_records(
+        ev, id_cols=("event_id",), content_col="payload", config=cfg
+    )
+    rows = [
+        ("delete", batch.deletes.count()),
+        ("dlq", batch.dlq.count()),
+        ("index", batch.documents.count()),
+    ]
+    return spark.createDataFrame(rows, "route string, n long")
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 upsert: latest 'O'-status order per customer partially updates the
+    customer's earliest order (full-outer + coalesce field merge)."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w_old = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    existing = (
+        orders.withColumn("rn", F.row_number().over(w_old))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    w_new = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    updates = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .withColumn("rn", F.row_number().over(w_new))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    return upsert_documents(existing, updates, "custkey").select(
+        "custkey", "orderkey", F.round("totalprice", 4).alias("totalprice")
+    )
+
+
+def q_index_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 topic→index normalization over synthesized topic names."""
+    ev = _read(spark, sf_dir, "events")
+    topics = ev.select(
+        F.concat(
+            F.lit("_"), F.upper(F.col("event_type")), F.lit("."),
+            (F.col("user_id") % 3).cast("string"),
+        ).alias("topic")
+    )
+    return (
+        topics.select(convert_topic_to_index_name("topic").alias("index_name"))
+        .groupBy("index_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("index_name")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"), "rn",
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(spark, 32)
+    feats = multimodal.extract_image_features(media)
+    return (
+        feats.join(media.select("media_id", "kind"), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.expr("aggregate(feat, 0D, (a, x) -> a + x)")), 4).alias(
+                "feat_sum"
+            ),
+        )
+        .orderBy("kind")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk_or": _bm25("or"),
+        "bm25_topk_and": _bm25("and"),
+        "match_count_or": _match_count("or"),
+        "match_count_and": _match_count("and"),
+        "doc_count": q_doc_count,
+        "term_doc_freq": q_term_doc_freq,
+        "top_terms": q_top_terms,
+        "token_counts": q_token_counts,
+        "language_id": q_language_id,
+        "quality_score": q_quality,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_fingerprints": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_join": q_knn_join,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "latest_wins": q_latest_wins,
+        "tombstone_routing": q_tombstone_routing,
+        "upsert_merge": q_upsert_merge,
+        "index_name_norm": q_index_name_norm,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "window_topn": q_window_topn,
+        "events_hourly": q_events_hourly,
+        "media_feature_stats": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+
+def _bm25_sql(mode: str) -> str:
+    terms = sorted(set(BM25_QUERY.split()))
+    values = ", ".join(f"('{t}', 1.0)" for t in terms)
+    and_having = (
+        f"HAVING count(DISTINCT tf.term) = {len(terms)}" if mode == "and" else ""
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+dstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks)::DOUBLE AS dl FROM docs
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN (VALUES {values}) q(term, qtf) ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  CROSS JOIN dstats s
+  GROUP BY tf.doc_id
+  {and_having}
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+"""
+
+
+def _match_count_sql(mode: str) -> str:
+    terms = sorted(set(COUNT_TERMS))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    having = (
+        f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    )
+    return f"""
+SELECT count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents
+  ) WHERE term IN ({inlist})
+  GROUP BY doc_id {having}
+)
+"""
+
+
+def _shingles_cte() -> str:
+    return f"""
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks) - 1)]) AS shingles
+  FROM (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents)
+)"""
+
+
+def _jaccard_expr(a: str, b: str) -> str:
+    return (
+        f"round(CASE WHEN len(list_distinct(list_concat({a}, {b}))) > 0 "
+        f"THEN len(list_intersect({a}, {b}))::DOUBLE "
+        f"/ len(list_distinct(list_concat({a}, {b})))::DOUBLE "
+        f"ELSE 0.0 END, 6)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _toks_sql("text")
+    cos = (
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    )
+    return {
+        "bm25_topk_or": _bm25_sql("or"),
+        "bm25_topk_and": _bm25_sql("and"),
+        "match_count_or": _match_count_sql("or"),
+        "match_count_and": _match_count_sql("and"),
+        "doc_count": "SELECT count(*)::BIGINT AS n FROM documents",
+        "term_doc_freq": f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+WHERE term IN ({", ".join(f"'{t}'" for t in DF_TERMS)})
+GROUP BY term ORDER BY term
+""",
+        "top_terms": f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::INT
+         AS ws_tokens,
+       len({toks})::INT AS word_tokens,
+       length(text)::INT AS n_chars_actual
+FROM documents
+""",
+        "language_id": _language_id_sql(),
+        "quality_score": _quality_sql(),
+        "doc_fingerprint": f"""
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct({toks})), ' '))
+  AS fingerprint
+FROM documents
+""",
+        "dedup_exact": """
+SELECT sha256(text) AS digest, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_dupes
+FROM documents GROUP BY sha256(text)
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_shingles_cte()}
+SELECT a.id AS id_a, b.id AS id_b,
+       {_jaccard_expr("a.shingles", "b.shingles")} AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE {_jaccard_expr("a.shingles", "b.shingles")} >= {JACCARD_THRESHOLD}
+""",
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "simhash_fingerprints": _simhash_sql(),
+        "cosine_topk": f"""
+SELECT vec_id, cosine FROM (
+  SELECT a.vec_id, round({cos}, 6) AS cosine
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+  WHERE a.vec_id > 0
+) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "embedding_near_dup": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {COSINE_PAIR_THRESHOLD}
+""",
+        "knn_join": f"""
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                      a.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[],
+                                                 a.embedding::DOUBLE[]), 6)
+             DESC, b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON b.vec_id >= 3
+  WHERE a.vec_id < 3
+) WHERE rank <= 3
+""",
+        "latest_wins": """
+SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "tombstone_routing": """
+SELECT route, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS route
+  FROM events
+) GROUP BY route
+UNION ALL SELECT 'dlq' AS route, 0::BIGINT AS n
+""",
+        "upsert_merge": """
+WITH existing AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         o_totalprice AS totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn FROM orders
+  ) WHERE rn = 1
+),
+updates AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         o_totalprice AS totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderstatus = 'O'
+  ) WHERE rn = 1
+)
+SELECT coalesce(u.custkey, e.custkey) AS custkey,
+       coalesce(u.orderkey, e.orderkey) AS orderkey,
+       round(coalesce(u.totalprice, e.totalprice), 4) AS totalprice
+FROM existing e FULL OUTER JOIN updates u ON e.custkey = u.custkey
+""",
+        "index_name_norm": f"""
+SELECT {convert_topic_to_index_name_sql("topic")} AS index_name,
+       count(*)::BIGINT AS n
+FROM (SELECT '_' || upper(event_type) || '.' || (user_id % 3)::VARCHAR AS topic
+      FROM events)
+GROUP BY 1 ORDER BY 1
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT c_custkey, c_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+""",
+        "window_topn": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+""",
+    }
+
+
+def _language_id_sql() -> str:
+    from kafka_connect_opensearch_spark.operators.textstats import (
+        LANG_ORDER,
+        LANG_STOPWORDS,
+    )
+
+    toks = _toks_sql("text")
+    hit_cols = ", ".join(
+        f"len(list_filter(toks, t -> t IN "
+        f"({', '.join(repr(w) for w in LANG_STOPWORDS[lang])})))::INT AS hits_{lang}"
+        for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_ORDER) + ")"
+    cascade = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+h AS (SELECT doc_id, {hit_cols} FROM t)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in LANG_ORDER)},
+       {cascade} AS pred_lang
+FROM h
+"""
+
+
+def _quality_sql() -> str:
+    toks = _toks_sql("text")
+    from kafka_connect_opensearch_spark.operators.textstats import LANG_STOPWORDS
+
+    en = ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE AS alpha,
+         len({toks})::DOUBLE AS n_toks,
+         len(list_filter({toks}, t -> t IN ({en})))::DOUBLE AS sw
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         least(1.0, n_chars / 2000.0) AS len_score,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         least(0.5, CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 2.0
+           AS sw_score,
+         CASE WHEN n_toks > 0 AND alpha / n_toks >= 3.0
+                   AND alpha / n_toks <= 12.0
+              THEN 1.0 ELSE 0.0 END AS wl_score
+  FROM t
+)
+SELECT doc_id, round(len_score, 6) AS len_score,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(sw_score, 6) AS stopword_score,
+       wl_score AS wordlen_score,
+       round((len_score + alpha_ratio + sw_score + wl_score) / 4.0, 6)
+         AS quality
+FROM f
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+WITH {_shingles_cte()},
+sig AS (
+  SELECT id,
+         [list_min(list_transform(shingles,
+            s -> ('0x' || substr(md5('mh' || j || ':' || s), 1, 15))::BIGINT))
+          for j in range(0, 16)] AS mh
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT id, b.band,
+         md5(mh[b.band * 4 + 1]::VARCHAR || ',' || mh[b.band * 4 + 2]::VARCHAR
+             || ',' || mh[b.band * 4 + 3]::VARCHAR || ','
+             || mh[b.band * 4 + 4]::VARCHAR) AS bucket
+  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id
+)
+SELECT c.id_a, c.id_b,
+       {_jaccard_expr("sa.shingles", "sb.shingles")} AS jaccard
+FROM cands c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
+WHERE {_jaccard_expr("sa.shingles", "sb.shingles")} >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_sql() -> str:
+    toks = _toks_sql("text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id AS id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5('sh:' || term), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT id, b.bit, sum(tf * (((h >> b.bit) & 1) * 2 - 1)) AS v
+  FROM tf, (SELECT unnest(range(0, 60)) AS bit) b
+  GROUP BY 1, 2
+)
+SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+  AS simhash
+FROM votes GROUP BY id
+"""

@@ -1,0 +1,350 @@
+"""BM25 top-k retrieval over the segment store (SURVEY.md D5-D7).
+
+Okapi BM25 with OpenSearch/Lucene defaults and formula (pinned by the north
+rule): ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, ``score = Σ_t qtf_t ·
+idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` with k1=1.2, b=0.75.
+
+Execution shape (scales to 10^12 docs because nothing doc-sized ever
+reaches the driver):
+
+1. term-dictionary lookup: scan only postings rows of the query terms —
+   Catalyst pushes ``term IN (...)`` into the parquet scan and the
+   sorted-by-term segment layout prunes row groups via min/max stats.
+2. per-segment scoring: segments partition the doc space disjointly, so
+   every doc's postings live in one segment → ``groupBy(seg).applyInPandas``
+   scores each segment independently in numpy and emits only its local
+   top-k.
+3. global merge: ``ORDER BY score DESC, doc_id ASC LIMIT k`` over
+   (#segments × k) rows — Spark plans TakeOrderedAndProject.
+
+Pruning: MaxScore partitioning with block-max refinement. Terms are split
+into essential/non-essential by per-term upper bounds (from stored max_tf);
+docs appearing only in non-essential (stopword) lists are skipped when their
+bound cannot reach the running threshold; survivors are **rescored exactly
+in sorted-term order** so final scores are bit-identical to the brute-force
+oracle regardless of pruning (rank-identical parity, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.config import EngineConfig
+from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+from kafka_connect_opensearch_spark.operators import postings as codec
+from kafka_connect_opensearch_spark.operators.segments import SegmentStore
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_weight(tf, dl, avgdl: float, k1: float, b: float):
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class IndexReader:
+    """Query-side view of an index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.store = SegmentStore(index_dir)
+        meta = self.store.meta()
+        self.k1 = float(meta["k1"])
+        self.b = float(meta["b"])
+        self.block_size = int(meta.get("block_size", 128))
+        self._segments = self.store.active_segments()
+
+    # D7: _count parity (OpenSearchHelperClient.java:85-88)
+    def doc_count(self) -> int:
+        return self.store.global_stats()[0]
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        paths = [
+            f"{self.store.segment_path(s.name)}/postings.parquet"
+            for s in self._segments
+        ]
+        df = self.spark.read.parquet(*paths)
+        if terms is not None:
+            df = df.filter(F.col("term").isin(list(terms)))  # pushed to scan
+        return df
+
+    def docs(self) -> DataFrame:
+        paths = [
+            f"{self.store.segment_path(s.name)}/docs.parquet"
+            for s in self._segments
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term (segments are doc-disjoint → df sums)."""
+        rows = (
+            self.postings(terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "or"
+    ) -> DataFrame:
+        """Top-k ``(doc_id, score)`` for ``query``; deterministic tie-break
+        on doc_id (rank-identical requirement)."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        qterms = sorted(Counter(tokenize_py(query)).items())  # [(term, qtf)]
+        n_docs, avgdl = self.store.global_stats()
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not qterms or n_docs == 0:
+            return empty
+        dfs = self.term_stats([t for t, _ in qterms])
+        if mode == "and" and any(t not in dfs for t, _ in qterms):
+            return empty
+        qterms = [(t, q) for t, q in qterms if t in dfs]
+        if not qterms:
+            return empty
+        weights = {
+            t: qtf * bm25_idf(n_docs, dfs[t]) for t, qtf in qterms
+        }
+        scorer = _make_segment_scorer(
+            weights, avgdl, self.k1, self.b, k, mode, self.block_size
+        )
+        local_topk = (
+            self.postings([t for t, _ in qterms])
+            .groupBy("seg")
+            .applyInPandas(scorer, schema="doc_id long, score double")
+        )
+        return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def match_count(self, query: str, mode: str = "or") -> int:
+        """Number of matching docs (D7) without scoring."""
+        qterms = sorted(set(tokenize_py(query)))
+        if not qterms:
+            return 0
+        p = self.postings(qterms)
+        counter = _make_segment_counter(qterms, mode)
+        out = (
+            p.groupBy("seg")
+            .applyInPandas(counter, schema="n long")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+            .collect()[0]
+        )
+        return int(out["n"])
+
+
+def _decode_rows(pdf: pd.DataFrame) -> dict[str, tuple]:
+    """term → (doc_ids, tfs, dls, block_max) decoded numpy arrays."""
+    out = {}
+    for _, row in pdf.iterrows():
+        ids, tfs = codec.decode_postings(row["doc_ids"], row["tfs"])
+        dls = codec.varint_decode(row["dls"]).astype("int64")
+        bmax = codec.decode_block_max(row["block_max"])
+        out[row["term"]] = (ids, tfs, dls, bmax)
+    return out
+
+
+def _exact_scores(
+    cand: np.ndarray,
+    decoded: dict,
+    weights: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> np.ndarray:
+    """Exact BM25 of candidate docs, accumulating terms in sorted order so
+    float64 summation order matches the oracle bit-for-bit."""
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for term in sorted(decoded):
+        ids, tfs, dls, _ = decoded[term]
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        hit = ids[pos_c] == cand
+        tf = tfs[pos_c][hit].astype(np.float64)
+        dl = dls[pos_c][hit].astype(np.float64)
+        scores[hit] += weights[term] * bm25_tf_weight(tf, dl, avgdl, k1, b)
+    return scores
+
+
+def _make_segment_scorer(
+    weights: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    mode: str,
+    block_size: int,
+):
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = _decode_rows(pdf)
+        if not decoded:
+            return empty
+        if mode == "and":
+            # a doc in this segment can only match ALL query terms if every
+            # query term has a posting list here (segments are doc-disjoint)
+            if any(t not in decoded for t in weights):
+                return empty
+            cand = None
+            for term in sorted(decoded, key=lambda t: decoded[t][0].size):
+                ids = decoded[term][0]
+                cand = ids if cand is None else cand[np.isin(cand, ids)]
+                if cand.size == 0:
+                    break
+            if cand is None or cand.size == 0:
+                return empty
+        else:
+            cand = _maxscore_candidates(
+                decoded, weights, avgdl, k1, b, k, block_size
+            )
+        scores = _exact_scores(cand, decoded, weights, avgdl, k1, b)
+        # local top-k with the same deterministic tie-break as the global merge
+        order = np.lexsort((cand, -scores))[:k]
+        return pd.DataFrame(
+            {"doc_id": cand[order].astype("int64"), "score": scores[order]}
+        )
+
+    return score_segment
+
+
+def _maxscore_candidates(
+    decoded: dict,
+    weights: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    block_size: int = 128,
+) -> np.ndarray:
+    """MaxScore pruning (exact): pick candidates that can reach the top-k.
+
+    Upper bound per term uses stored max_tf with the dl→0 limit:
+    ub = w_t·(k1+1)·max_tf/(max_tf + k1·(1−b)). Terms are sorted by ub
+    descending; the non-essential suffix is the largest one whose summed
+    bounds stay below the threshold θ = k-th best score using essential
+    terms only (scores only grow ⇒ θ is a valid lower bound). Docs that
+    appear *only* in non-essential lists are pruned; block-max metadata
+    refines the check per 128-doc block. Survivors are rescored exactly.
+    """
+    terms = list(decoded)
+    ubs = {}
+    for t in terms:
+        mtf = float(decoded[t][1].max()) if decoded[t][1].size else 0.0
+        ubs[t] = weights[t] * (k1 + 1.0) * mtf / (mtf + k1 * (1.0 - b))
+    terms.sort(key=lambda t: -ubs[t])
+
+    if len(terms) == 1:
+        return decoded[terms[0]][0]
+
+    # θ from essential prefix: score docs of the highest-ub term exactly
+    # against all terms is what the final pass does; here we only need a
+    # cheap valid lower bound, so use partial scores within essential lists.
+    # Start with all terms essential, then peel stopword suffixes.
+    suffix_ub = np.cumsum([ubs[t] for t in reversed(terms)])[::-1]
+    ess_docs = decoded[terms[0]][0]
+    # partial exact scores over the first (rarest/highest-impact) list
+    theta = 0.0
+    if ess_docs.size > k:
+        s0 = _exact_scores(
+            ess_docs, {terms[0]: decoded[terms[0]]}, weights, avgdl, k1, b
+        )
+        theta = float(np.partition(s0, -k)[-k]) if s0.size >= k else 0.0
+    # essential set = prefix whose suffix bound >= theta
+    m = len(terms)
+    while m > 1 and suffix_ub[m - 1] < theta:
+        m -= 1
+    essential = terms[:m]
+    nonessential = terms[m:]
+    cand = np.unique(np.concatenate([decoded[t][0] for t in essential]))
+    if not nonessential:
+        return cand
+    # block-max refinement: a non-essential-only doc could still matter if
+    # per-block bounds exceed theta — conservatively include docs from
+    # blocks whose refined bound ≥ theta.
+    extras = []
+    for t in nonessential:
+        ids, _tfs, _dls, bmax = decoded[t]
+        if bmax.size == 0:
+            continue
+        bub = weights[t] * (k1 + 1.0) * bmax / (bmax + k1 * (1.0 - b))
+        rest = suffix_ub[m - 1] - ubs[t] if m - 1 < len(suffix_ub) else 0.0
+        hot = np.nonzero(bub + rest >= theta)[0]
+        for blk in hot:
+            extras.append(ids[blk * block_size : (blk + 1) * block_size])
+    if extras:
+        cand = np.unique(np.concatenate([cand, *extras]))
+    return cand
+
+
+def _make_segment_counter(qterms: list[str], mode: str):
+    def count_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = _decode_rows(pdf)
+        if not decoded:
+            return pd.DataFrame({"n": [0]})
+        if mode == "and":
+            if any(t not in decoded for t in qterms):
+                return pd.DataFrame({"n": [0]})
+            cand = None
+            for t in qterms:
+                ids = decoded[t][0]
+                cand = ids if cand is None else cand[np.isin(cand, ids)]
+            n = int(cand.size)
+        else:
+            n = int(np.unique(np.concatenate([v[0] for v in decoded.values()])).size)
+        return pd.DataFrame({"n": [n]})
+
+    return count_segment
+
+
+def brute_force_bm25(
+    docs: pd.DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = EngineConfig.k1,
+    b: float = EngineConfig.b,
+    doc_id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "or",
+) -> pd.DataFrame:
+    """Independent numpy oracle (plays OpenSearch's role in the reference's
+    integration tests, SURVEY.md §5.4). Same analyzer, same float64
+    sorted-term accumulation discipline."""
+    toks = [tokenize_py(t) for t in docs[text_col]]
+    ids = docs[doc_id_col].to_numpy(dtype="int64")
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    n = len(toks)
+    avgdl = dls.mean() if n else 0.0
+    qterms = sorted(Counter(tokenize_py(query)).items())
+    scores = np.zeros(n, dtype=np.float64)
+    matched = np.zeros(n, dtype=np.int64)
+    for term, qtf in qterms:
+        tf = np.array([t.count(term) for t in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        w = qtf * bm25_idf(n, df)
+        has = tf > 0
+        matched += has
+        contrib = np.zeros(n, dtype=np.float64)
+        contrib[has] = w * bm25_tf_weight(tf[has], dls[has], avgdl, k1, b)
+        scores += contrib
+    present = [t for t, _ in qterms]
+    need = len(present) if mode == "and" else 1
+    # docs matching no term are not hits
+    ok = matched >= max(1, need if mode == "and" else 1)
+    if mode == "and":
+        ok = matched >= len(qterms)
+    idx = np.nonzero(ok)[0]
+    order = np.lexsort((ids[idx], -scores[idx]))[:k]
+    sel = idx[order]
+    return pd.DataFrame({"doc_id": ids[sel], "score": scores[sel]})

@@ -1,0 +1,216 @@
+"""Record→document conversion semantics (SURVEY.md P1-P9, W1-W4, E1-E3).
+
+Re-expresses ``DataConverter.java`` + the task's record policies as pure
+DataFrame transformations:
+
+- identity: key-based or synthesized ``doc_key`` (DataConverter.java:87-114,
+  156-158);
+- tombstones (null content): IGNORE drops, DELETE routes to a delete set,
+  FAIL raises (DataConverter.java:117-154);
+- malformed records: IGNORE/WARN drop (WARN logs), FAIL raises; dropped rows
+  are quarantined to a DLQ frame with the error reason
+  (OpenSearchSinkTask.java:289-313, OpenSearchClient.java:91-98);
+- latest-wins external versioning: replays/duplicates collapse via
+  ``max_by(struct, version)`` — the idempotent-replay equivalence of
+  VersionType.EXTERNAL (DataConverter.java:225-235,
+  OpenSearchClient.java:505-516);
+- value preprocessing (§1.2b): Decimal→double, MAP→kv-struct-array,
+  recursive — provided for schema'd payload columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_opensearch_spark.config import (
+    DOC_KEY_SEP,
+    BehaviorOnMalformedDoc,
+    BehaviorOnNullValues,
+    EngineConfig,
+)
+
+
+@dataclass
+class ConvertedBatch:
+    """Outcome of record conversion: documents to index, deletes to apply,
+    and the dead-letter quarantine (E3)."""
+
+    documents: DataFrame
+    deletes: DataFrame
+    dlq: DataFrame
+
+
+def synthesize_doc_key(
+    df: DataFrame, id_cols: tuple[str, ...], out: str = "doc_key"
+) -> DataFrame:
+    """key.ignore=true identity: "{topic}+{partition}+{offset}" →
+    separator-joined id columns (DataConverter.java:156-158)."""
+    return df.withColumn(out, F.concat_ws(DOC_KEY_SEP, *[F.col(c) for c in id_cols]))
+
+
+def convert_records(
+    df: DataFrame,
+    id_cols: tuple[str, ...],
+    content_col: str,
+    version_col: str | None = None,
+    config: EngineConfig | None = None,
+) -> ConvertedBatch:
+    """Apply the connector's record policies as a single declarative plan.
+
+    A record is *malformed* when any id column is null (the reference's
+    "key is null" DataException, DataConverter.java:89-92) — routed by
+    ``behavior_on_malformed_docs``. A record is a *tombstone* when
+    ``content`` is null — routed by ``behavior_on_null_values``.
+    """
+    config = config or EngineConfig()
+    df = synthesize_doc_key(df, id_cols)
+
+    malformed_cond = F.lit(False)
+    for c in id_cols:
+        malformed_cond = malformed_cond | F.col(c).isNull()
+    tombstone_cond = F.col(content_col).isNull()
+
+    reason = (
+        F.when(malformed_cond, F.lit("malformed: null id column"))
+        .when(
+            tombstone_cond
+            & F.lit(config.behavior_on_null_values == BehaviorOnNullValues.FAIL),
+            F.lit("tombstone with behavior_on_null_values=fail"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    tagged = df.withColumn("_error", reason)
+
+    if config.behavior_on_malformed_docs == BehaviorOnMalformedDoc.FAIL:
+        # fail the batch on first malformed record (reference FAIL policy):
+        # raise_error executes inside the plan, like the task throwing
+        tagged = tagged.withColumn(
+            "_error",
+            F.when(
+                malformed_cond,
+                F.raise_error(
+                    F.concat(F.lit("malformed record: null id in doc_key="),
+                             F.coalesce(F.col("doc_key"), F.lit("?"))),
+                ),
+            ).otherwise(F.col("_error")),
+        )
+    if config.behavior_on_null_values == BehaviorOnNullValues.FAIL:
+        tagged = tagged.withColumn(
+            "_error",
+            F.when(
+                tombstone_cond & ~malformed_cond,
+                F.raise_error(F.lit("null value for key with behavior=fail")),
+            ).otherwise(F.col("_error")),
+        )
+
+    dlq = tagged.filter(F.col("_error").isNotNull())
+    ok = tagged.filter(F.col("_error").isNull()).drop("_error")
+
+    deletes = ok.filter(tombstone_cond).select("doc_key") if (
+        config.behavior_on_null_values == BehaviorOnNullValues.DELETE
+    ) else ok.filter(F.lit(False)).select("doc_key")
+    docs = ok.filter(~tombstone_cond)
+
+    if version_col is not None:
+        # W4: latest-wins per doc_key — replays are no-ops (idempotence)
+        docs = latest_wins(docs, "doc_key", version_col)
+    return ConvertedBatch(documents=docs, deletes=deletes, dlq=dlq)
+
+
+def latest_wins(df: DataFrame, key_col: str, version_col: str) -> DataFrame:
+    """max_by(all columns, version) per key — external-versioning semantics
+    (W1/W4). One shuffle on the key; ties broken by highest version only
+    (the reference ignores equal-version conflicts as success)."""
+    others = [c for c in df.columns if c != key_col]
+    packed = df.groupBy(key_col).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(version_col)).alias(
+            "_row"
+        )
+    )
+    return packed.select(key_col, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def apply_deletes(index_docs: DataFrame, deletes: DataFrame, key: str) -> DataFrame:
+    """W3: tombstone deletes as a broadcast-able left anti-join."""
+    return index_docs.join(F.broadcast(deletes.select(key).distinct()), key, "left_anti")
+
+
+def upsert_documents(
+    existing: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """W2: partial-update upsert — fields present (non-null) in the update
+    replace existing fields; absent docs are created. Full-outer join +
+    per-field coalesce(new, old) (SURVEY.md W2; Iceberg MERGE at scale)."""
+    cols = [c for c in existing.columns if c != key]
+    e = existing.select(key, *[F.col(c).alias(f"_old_{c}") for c in cols])
+    u = updates.select(key, *[F.col(c).alias(f"_new_{c}") for c in cols])
+    j = e.join(u, key, "full_outer")
+    return j.select(
+        key,
+        *[
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+            for c in cols
+        ],
+    )
+
+
+# --- §1.2b value preprocessing for schema'd payloads -----------------------
+
+
+def preprocess_value(col: Column, dtype: T.DataType) -> Column:
+    """Recursive preprocessing, mirroring DataConverter.preProcessValue
+    (DataConverter.java:243-421): Decimal→double; MAP→array<struct<key,
+    value>> (non-compact path); ARRAY/STRUCT recurse; everything else
+    passes through."""
+    if isinstance(dtype, T.DecimalType):
+        return col.cast("double")
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: preprocess_value(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                preprocess_value(e["key"], dtype.keyType).alias("key"),
+                preprocess_value(e["value"], dtype.valueType).alias("value"),
+            ),
+        )
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[
+                preprocess_value(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    return col
+
+
+def preprocess_payload(
+    df: DataFrame, cols: list[str] | None = None, compact_string_maps: bool = True
+) -> DataFrame:
+    """Apply §1.2b preprocessing to each payload column. String-keyed maps
+    stay maps when ``compact_string_maps`` (compact.map.entries=true default,
+    OpenSearchSinkConnectorConfig.java:191-202) — they serialize to JSON
+    objects naturally; other maps become kv-struct arrays."""
+    out = df
+    for fld in df.schema.fields:
+        if cols is not None and fld.name not in cols:
+            continue
+        dt = fld.dataType
+        if (
+            compact_string_maps
+            and isinstance(dt, T.MapType)
+            and isinstance(dt.keyType, T.StringType)
+        ):
+            continue
+        if isinstance(dt, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)):
+            out = out.withColumn(fld.name, preprocess_value(F.col(fld.name), dt))
+    return out
+
+
+def to_json_payload(df: DataFrame, payload_cols: list[str], out: str = "payload") -> Column:
+    """P4: document JSON serialization (DataConverter.java:186-200)."""
+    return df.withColumn(out, F.to_json(F.struct(*[F.col(c) for c in payload_cols])))

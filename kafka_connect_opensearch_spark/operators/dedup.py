@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All are pure DataFrame compositions (JVM
+built-ins, whole-stage codegen) so Catalyst handles pushdown/pruning and AQE
+handles post-shuffle sizing; nothing is collected to the driver.
+
+Every hash used here is *portable*: ``hash64(s) = int(md5(s)[:15 hex], 16)``
+(60 bits, positive) so the DuckDB oracle SQL in ``__spark_entry__.py``
+reproduces results bit-identically — unlike xxhash64/murmur, which differ
+across engines.
+
+Scale notes: MinHash-LSH is the 100 TB path — candidate generation is a
+self-join on (band, band_hash) buckets, i.e. a shuffle keyed by bucket with
+no quadratic blow-up; the exact-Jaccard verify runs only on bucket-collided
+pairs. The brute-force pairwise operators (n-gram Jaccard, cosine all-pairs)
+are correctness baselines meant for bounded candidate sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.functions.analysis import tokenize
+
+
+def hash64(col: Column | str, seed: str = "") -> Column:
+    """Portable 60-bit hash (md5-based, reproducible in any SQL engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per sha256(text) (one shuffle on the
+    digest; map-side partial min). Returns the surviving rows' ids+digests."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def token_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-token shingles as strings; empty array when doc has < n tokens."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_shingles(tokenize(text_col), n)).alias("shingles"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, minhash array<long>) — min over shingles of seeded portable
+    hashes. Docs with no shingles get nulls (excluded from LSH)."""
+    sh = with_shingles(df, text_col, id_col, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, i=i: hash64(s, f"mh{i}:"))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("id", sig.alias("minhash")).filter(
+        ~F.array_contains(F.transform(F.col("minhash"), F.isnull), F.lit(True))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band bucket become a candidate
+    pair. One explode → shuffle on (band, band_hash) → within-bucket
+    self-join. Scales linearly in corpus size for bounded bucket sizes."""
+    num = bands * rows_per_band
+    band_entries = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r].cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (set semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
+    Jaccard verify on candidates → pairs ≥ threshold."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    j = (
+        cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(sh.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Brute-force all-pairs n-gram Jaccard ≥ threshold (correctness
+    baseline; O(n²) — bounded inputs only). The LSH variant above is the
+    scale path."""
+    sh = with_shingles(df, text_col, id_col, n)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """Per-doc SimHash fingerprint (tf-weighted bit votes over portable
+    term hashes). Returns (id, simhash long).
+
+    Shape: tokenize → explode → tf per (id, term) → cross join with the
+    bit axis (tiny broadcast range) → vote sum per (id, bit) → pack.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("toks"))
+        .select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", hash64("term", "sh:"))
+    )
+    bit_axis = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        tf.select("id", "tf", "h", bit_axis)
+        # shiftright/shiftleft take a column shift amount only via SQL expr
+        .withColumn("vote", F.expr("tf * ((shiftright(h, bit) & 1) * 2 - 1)"))
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                   "ELSE CAST(0 AS BIGINT) END"),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bin() — built-ins only."""
+    return (
+        F.length(F.regexp_replace(F.bin(a.bitwiseXOR(b)), "0", ""))
+    ).cast("int")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 8
+) -> DataFrame:
+    """All-pairs SimHash Hamming-distance filter (baseline; at scale, band
+    the 60 bits into prefixes and bucket-join like LSH)."""
+    s = simhash(df, text_col, id_col)
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming_distance(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,136 @@
+"""Posting-list codec: delta + LEB128 varint, vectorized in numpy.
+
+The reference leaves posting storage to Lucene; the north rule requires our
+own "delta + varint-style compressed postings stored as binary columns".
+Encoders/decoders below are numpy-vectorized (loops run over byte-positions,
+max 10, never over elements) so they are fast enough to run inside Arrow
+UDFs on 100k-element posting lists.
+
+Layout of one encoded posting list (one row of the postings table):
+  ``doc_ids``   BinaryType — varint(delta(sorted doc_ids))
+  ``tfs``       BinaryType — varint(tf per doc, same order)
+  ``block_max`` BinaryType — varint(max tf per block of BLOCK_SIZE docs)
+The per-block max tf yields a cheap upper bound on the BM25 contribution
+(score ≤ idf·(k1+1)·maxtf/(maxtf + k1·(1−b))) used for block-max WAND
+pruning at query time (SURVEY.md D6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kafka_connect_opensearch_spark.config import POSTINGS_BLOCK_SIZE
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized.
+
+    Byte i of each value is ``(v >> 7i) & 0x7f``, with the continuation bit
+    set on all but the last byte. We compute per-value byte counts, then
+    scatter bytes by output offset — the only Python loop is over the ≤10
+    byte positions.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value: max(1, ceil(bitlen/7))
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp != 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(bits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for i in range(maxb):
+        mask = nbytes > i
+        chunk = (v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
+        out[offsets[:-1][mask] + i] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # value index of each byte = number of completed values before it
+    value_id = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    n_values = int(is_last.sum())
+    starts = np.concatenate(([0], np.nonzero(is_last)[0][:-1] + 1))
+    pos_in_value = np.arange(b.size) - starts[value_id]
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos_in_value.astype(np.uint64))
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    return out
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = POSTINGS_BLOCK_SIZE
+) -> tuple[bytes, bytes, bytes]:
+    """Sort by doc_id, delta-encode ids, varint-pack ids/tfs/block maxima."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    d = doc_ids[order]
+    t = tfs[order]
+    deltas = np.empty_like(d)
+    if d.size:
+        deltas[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=deltas[1:])
+    n_blocks = -(-d.size // block_size) if d.size else 0
+    block_max = np.zeros(n_blocks, dtype=np.int64)
+    for i in range(n_blocks):
+        block_max[i] = t[i * block_size : (i + 1) * block_size].max()
+    return (
+        varint_encode(deltas.astype(np.uint64)),
+        varint_encode(t.astype(np.uint64)),
+        varint_encode(block_max.astype(np.uint64)),
+    )
+
+
+def decode_postings(
+    doc_ids_buf: bytes, tfs_buf: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` (ids via cumsum of deltas)."""
+    deltas = varint_decode(doc_ids_buf).astype(np.int64)
+    tfs = varint_decode(tfs_buf).astype(np.int64)
+    return np.cumsum(deltas), tfs
+
+
+def decode_block_max(block_max_buf: bytes) -> np.ndarray:
+    return varint_decode(block_max_buf).astype(np.int64)
+
+
+def merge_postings(
+    parts: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge decoded (doc_ids, tfs) partial lists; tfs of equal ids sum.
+
+    Used both for second-level (salted) aggregation merges and for
+    log-structured segment merges. Duplicate doc_ids across parts sum their
+    tfs — correct for salted partials of the same segment; cross-segment
+    merges dedup by version *before* this step (latest-wins, W1/W4).
+    """
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    ids, tfs = ids[order], tfs[order]
+    if ids.size == 0:
+        return ids, tfs
+    uniq_mask = np.empty(ids.shape, dtype=bool)
+    uniq_mask[0] = True
+    np.not_equal(ids[1:], ids[:-1], out=uniq_mask[1:])
+    group = np.cumsum(uniq_mask) - 1
+    out_ids = ids[uniq_mask]
+    out_tfs = np.zeros(out_ids.size, dtype=np.int64)
+    np.add.at(out_tfs, group, tfs)
+    return out_ids, out_tfs

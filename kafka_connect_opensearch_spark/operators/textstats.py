@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All deterministic, all expressible both as Spark built-ins and ANSI SQL so
+each operator carries a DuckDB oracle in ``__spark_entry__.py``. These are
+single-pass projections/aggregations — at 100 TB they pipeline inside one
+scan stage with no shuffle (except the explode-based stopword counting,
+which is map-side only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.functions.analysis import tokenize
+
+# Tiny deterministic stopword lists per language — an n-gram/stopword-hit
+# heuristic language ID (franc/langid-style, reduced to be SQL-portable).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "la", "que", "los", "del", "las", "por", "con", "una", "para"],
+}
+LANG_ORDER = sorted(LANG_STOPWORDS)  # deterministic tie-break: alphabetical
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """Number of tokens that are in ``words`` (multiset count)."""
+    return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Predict language by max stopword-hit count; tie/zero → 'und'.
+
+    Ties break alphabetically (greatest(struct) over (hits, reversed-lang
+    marker) is avoided for SQL portability — explicit CASE cascade)."""
+    toks = tokenize(text_col)
+    out = df.select(F.col(id_col), toks.alias("_toks"))
+    for lang in LANG_ORDER:
+        out = out.withColumn(
+            f"hits_{lang}", stopword_hits(F.col("_toks"), LANG_STOPWORDS[lang])
+        )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:  # first (alphabetical) language hitting max wins
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return out.select(
+        id_col,
+        *[F.col(f"hits_{lang}") for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic doc-quality features + composite score in [0, 1]:
+
+    - length score: min(1, n_chars / 2000)
+    - alpha ratio: alphanumeric chars / chars
+    - stopword ratio (en): capped at 0.5 then scaled ×2
+    - mean word length sanity: 1 if in [3, 12] else 0
+
+    score = rounded mean of the four. Deterministic, SQL-portable.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text_col)
+    n_chars = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+    n_toks = F.size(toks).cast("double")
+    sw = stopword_hits(toks, LANG_STOPWORDS["en"]).cast("double")
+    mean_wl = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_chars / 2000.0)
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    sw_score = F.least(F.lit(0.5), F.when(n_toks > 0, sw / n_toks).otherwise(0.0)) * 2.0
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(sw_score, 6).alias("stopword_score"),
+        wl_score.alias("wordlen_score"),
+        F.round((len_score + alpha_ratio + sw_score + wl_score) / 4.0, 6).alias(
+            "quality"
+        ),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace words, analyzer tokens, and approx-BPE counts per doc."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        F.size(tokenize(text_col)).alias("word_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized document fingerprint: md5 over the sorted distinct token
+    set (case/punct/order-insensitive content identity — catches reordered
+    or re-punctuated near-copies that exact sha misses)."""
+    toks = F.array_sort(F.array_distinct(tokenize(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+    )

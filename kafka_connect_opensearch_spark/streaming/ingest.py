@@ -1,0 +1,76 @@
+"""Streaming index ingestion: readStream → foreachBatch → segment commits.
+
+The reference's unbounded SinkRecord flow (OpenSearchSinkTask.put, the poll
+loop) maps to Structured Streaming: each micro-batch becomes one segment,
+committed atomically with its manifest entry; Spark's streaming checkpoint
+plays the role of the framework's offset commit (O1-O5 subsumed —
+SURVEY.md §7.4 "streaming state"). Rate limiting via ``maxFilesPerTrigger``
+is the backpressure analogue of partition pausing (B4,
+OpenSearchSinkTask.java:330-377).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_connect_opensearch_spark.config import EngineConfig
+from kafka_connect_opensearch_spark.operators.indexer import (
+    _build_one_segment,
+    prepare_documents,
+)
+from kafka_connect_opensearch_spark.operators.segments import SegmentStore
+
+
+def start_streaming_index_build(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig | None = None,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """File-source streaming build: new parquet files under ``source_dir``
+    are ingested as micro-batches, one segment per non-empty batch."""
+    config = config or EngineConfig()
+    store = SegmentStore(index_dir)
+    store.create_if_absent(
+        {
+            "analyzer": "lowercase_word",
+            "k1": config.k1,
+            "b": config.b,
+            "block_size": config.block_size,
+            "num_segments": -1,  # unbounded
+        }
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch may redeliver a batch after failure; the manifest
+        # check makes the segment commit idempotent (exactly-once effect,
+        # same mechanism as the reference's external versioning W4).
+        bid = f"stream{batch_id:06d}"
+        if bid in store.committed_batches():
+            return
+        if batch_df.isEmpty():
+            return
+        docs = prepare_documents(batch_df, id_cols, content_col)
+        seg_name = f"seg_s_{bid}"
+        meta = _build_one_segment(spark, docs, store, seg_name, config)
+        store.commit_batch(
+            bid, {"batch": bid, "segments": [meta.__dict__], "replaces": []}
+        )
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,171 @@
+"""End-to-end: corpus → index build → BM25 top-k rank-identical vs numpy
+oracle; sha256 parity; counts; resume-from-checkpoint (north-rule gates)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.config import DOC_KEY_SEP, EngineConfig
+from kafka_connect_opensearch_spark.operators.bm25 import (
+    IndexReader,
+    brute_force_bm25,
+)
+from kafka_connect_opensearch_spark.operators.indexer import (
+    build_index,
+    doc_id_py,
+    prepare_documents,
+)
+from kafka_connect_opensearch_spark.sources.corpus import (
+    generate_corpus,
+    generate_corpus_pandas,
+)
+
+N_DOCS = 400
+
+# reference query set (FIXTURES.md §A): rare single term, stopword single
+# term, conjunctions, mixed
+QUERY_SET = [
+    ("ident_7", "or"),
+    ("return", "or"),
+    ("ident_1 ident_2", "or"),
+    ("ident_3 import", "or"),
+    ("return import def", "or"),
+    ("ident_1 ident_2", "and"),
+    ("return import", "and"),
+    ("nosuchtoken_xyz", "or"),
+    ("ident_5 nosuchtoken_xyz", "and"),
+]
+
+
+def _with_ids(pdf):
+    pdf = pdf.copy()
+    pdf["doc_key"] = [
+        DOC_KEY_SEP.join(t)
+        for t in zip(pdf["repo"], pdf["path"], pdf["commit"], strict=True)
+    ]
+    pdf["doc_id"] = pdf["doc_key"].map(doc_id_py)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return _with_ids(generate_corpus_pandas(N_DOCS))
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    src = generate_corpus(spark, N_DOCS)
+    cfg = EngineConfig(num_segments=4, salt_partitions=4, shuffle_partitions=4)
+    metrics = build_index(spark, src, d, cfg)
+    assert metrics.docs_indexed == N_DOCS
+    assert metrics.segments_built == 4
+    assert metrics.postings_written > 0
+    return d
+
+
+def test_corpus_is_deterministic_and_distributed(spark, corpus_pdf):
+    # distributed generation equals the driver-side twin, any partitioning
+    got = (
+        generate_corpus(spark, 50, partitions=7)
+        .orderBy("repo", "path")
+        .toPandas()
+    )
+    want = (
+        generate_corpus_pandas(50)
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sha256_parity(spark, index_dir, corpus_pdf):
+    """North-rule invariant: per-row sha256(content) equality between the
+    source and the indexed docs store."""
+    reader = IndexReader(spark, index_dir)
+    indexed = {
+        r["doc_id"]: r["content_sha256"]
+        for r in reader.docs().select("doc_id", "content_sha256").collect()
+    }
+    assert len(indexed) == N_DOCS
+    for _, row in corpus_pdf.iterrows():
+        want = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert indexed[row["doc_id"]] == want
+
+
+def test_doc_count(spark, index_dir):
+    assert IndexReader(spark, index_dir).doc_count() == N_DOCS
+
+
+@pytest.mark.parametrize("query,mode", QUERY_SET)
+def test_bm25_rank_identical(spark, index_dir, corpus_pdf, query, mode):
+    """Top-10 (doc_id, score) must be rank-identical to the brute-force
+    oracle — including bit-identical float64 scores (same accumulation
+    order; SURVEY.md §7.4)."""
+    reader = IndexReader(spark, index_dir)
+    got = reader.search(query, k=10, mode=mode).toPandas()
+    want = brute_force_bm25(
+        corpus_pdf, query, k=10, mode=mode, text_col="content"
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+
+
+def test_match_count_parity(spark, index_dir, corpus_pdf):
+    reader = IndexReader(spark, index_dir)
+    texts = corpus_pdf["content"].tolist()
+    # OR count
+    n_or = sum(1 for t in texts if ("ident_1" in t.split() or "ident_2" in t.split()))
+    assert reader.match_count("ident_1 ident_2", "or") == n_or
+    n_and = sum(
+        1 for t in texts if ("ident_1" in t.split() and "ident_2" in t.split())
+    )
+    assert reader.match_count("ident_1 ident_2", "and") == n_and
+    assert reader.match_count("nosuchtoken_xyz", "or") == 0
+
+
+def test_resume_from_checkpoint(spark, tmp_path, corpus_pdf):
+    """Kill mid-build → resume → identical index + correct lineage metrics
+    (reference offset-safety parity, OpenSearchSinkTaskIT.java:120-165)."""
+    d = str(tmp_path / "idx")
+    src = generate_corpus(spark, 120)
+    cfg = EngineConfig(num_segments=4, salt_partitions=2)
+    with pytest.raises(RuntimeError, match="fault injection"):
+        build_index(spark, src, d, cfg, fail_after_batches=2)
+    m2 = build_index(spark, src, d, cfg)  # resume
+    assert m2.batches_skipped == 2
+    assert m2.segments_built == 2
+    reader = IndexReader(spark, d)
+    assert reader.doc_count() == 120
+    # resumed index answers queries identically to the oracle
+    pdf = _with_ids(generate_corpus_pandas(120))
+    got = reader.search("ident_1 return", k=10).toPandas()
+    want = brute_force_bm25(pdf, "ident_1 return", k=10, text_col="content")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_prepare_documents_ids_match_python(spark):
+    src = generate_corpus(spark, 20)
+    rows = prepare_documents(src).select("doc_key", "doc_id").collect()
+    for r in rows:
+        assert r["doc_id"] == doc_id_py(r["doc_key"])
+
+
+def test_postings_scan_pushdown(spark, index_dir):
+    """Query-term lookup must push the IN-filter into the parquet scan."""
+    reader = IndexReader(spark, index_dir)
+    plan = (
+        reader.postings(["ident_1"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "ident_1" in plan
