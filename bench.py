@@ -1,0 +1,154 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", ...extras}``.
+
+Workload:
+- ``index_build``: full inverted-index build over a deterministic synthetic
+  code corpus (``$BENCH_CORPUS_DOCS`` docs, default 20000, ~20M tokens) —
+  the north-star docs/sec number (extras: ``docs_per_sec``).
+- ``bm25_queries``: the reference query set (rare / stopword / conjunctive
+  / mixed) against that index — extras carry p50/p95 ms.
+- a representative slice of the driver-contract queries over the sf-dir
+  tables (dedup, similarity, text stats, relational).
+
+Scaling evidence (north rule: N vs 4N executors) is produced by
+``scripts/bench_scaling.py``, which invokes this file at two parallelism
+levels and writes ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from kafka_connect_opensearch_spark.config import EngineConfig  # noqa: E402
+from kafka_connect_opensearch_spark.operators.bm25 import IndexReader  # noqa: E402
+from kafka_connect_opensearch_spark.operators.indexer import build_index  # noqa: E402
+from kafka_connect_opensearch_spark.sources.corpus import generate_corpus  # noqa: E402
+
+BM25_QUERY_SET = [
+    ("ident_7", "or"),
+    ("ident_123 ident_456", "or"),
+    ("return", "or"),
+    ("return import def", "or"),
+    ("ident_3 import", "or"),
+    ("ident_1 ident_2", "and"),
+    ("return import", "and"),
+    ("ident_42 class self", "or"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kcos-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "corpus_docs": n_docs}
+    work = tempfile.mkdtemp(prefix="kcos_bench_")
+    try:
+        # --- corpus staging (not timed: input generation, not indexing)
+        corpus_path = f"{work}/corpus.parquet"
+        generate_corpus(spark, n_docs, partitions=cpus * 2).write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+
+        # --- index build throughput
+        idx_dir = f"{work}/index"
+        # segment count and salt fanout are held constant across parallelism
+        # levels so the scaling comparison varies cores only; shuffle
+        # partitions track cores (that's what a bigger cluster changes).
+        cfg = EngineConfig(
+            num_segments=8,
+            shuffle_partitions=max(cpus, 16),
+            salt_partitions=16,
+        )
+        t0 = time.monotonic()
+        metrics = build_index(spark, corpus, idx_dir, cfg)
+        timings["index_build"] = round(time.monotonic() - t0, 3)
+        extras["docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+        extras["postings_written"] = metrics.postings_written
+        extras["segments_built"] = metrics.segments_built
+
+        # --- BM25 query latency (reference query set, 2 warm rounds)
+        reader = IndexReader(spark, idx_dir)
+        lat_ms = []
+        t0 = time.monotonic()
+        for _round in range(2):
+            for q, mode in BM25_QUERY_SET:
+                t1 = time.monotonic()
+                reader.search(q, k=10, mode=mode).collect()
+                lat_ms.append((time.monotonic() - t1) * 1000)
+        timings["bm25_queries"] = round(time.monotonic() - t0, 3)
+        extras["query_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
+        extras["query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 1)
+
+        # --- driver-contract slice over the sf-dir tables
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in [
+            "bm25_topk_or",
+            "minhash_lsh_pairs",
+            "simhash_fingerprints",
+            "dedup_exact",
+            "cosine_topk",
+            "knn_join",
+            "language_id",
+            "quality_score",
+            "pricing_summary",
+            "top_customers",
+            "window_topn",
+            "events_hourly",
+            "latest_wins",
+        ]:
+            t1 = time.monotonic()
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.monotonic() - t1, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        idxroot = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes")
+        shutil.rmtree(idxroot, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,14 +83,32 @@ class IndexReader:
         return self.spark.read.parquet(*paths)
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """Global df per term (segments are doc-disjoint → df sums)."""
-        rows = (
-            self.postings(terms)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        """Global df per term (segments are doc-disjoint → df sums).
+
+        This is a term-dictionary lookup — a coordinator-side metadata op
+        (Lucene reads its term dictionary the same way), so it uses a
+        direct pyarrow scan with predicate pushdown on the sorted ``term``
+        column instead of a Spark job: only the (term, df) columns of the
+        row groups containing the query terms are read.
+        """
+        import pyarrow.dataset as pads
+
+        paths = [
+            f"{self.store.segment_path(s.name)}/postings.parquet"
+            for s in self._segments
+        ]
+        out: dict[str, int] = dict.fromkeys(terms, 0)
+        for p in paths:
+            dset = pads.dataset(p, format="parquet")
+            tbl = dset.to_table(
+                columns=["term", "df"],
+                filter=pads.field("term").isin(terms),
+            )
+            for t, d in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(), strict=True
+            ):
+                out[t] += int(d)
+        return {t: n for t, n in out.items() if n > 0}
 
     def search(
         self, query: str, k: int = 10, mode: str = "or"

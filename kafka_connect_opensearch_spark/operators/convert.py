@@ -74,38 +74,41 @@ def convert_records(
         malformed_cond = malformed_cond | F.col(c).isNull()
     tombstone_cond = F.col(content_col).isNull()
 
-    reason = (
-        F.when(malformed_cond, F.lit("malformed: null id column"))
-        .when(
-            tombstone_cond
-            & F.lit(config.behavior_on_null_values == BehaviorOnNullValues.FAIL),
-            F.lit("tombstone with behavior_on_null_values=fail"),
-        )
-        .otherwise(F.lit(None).cast("string"))
-    )
-    tagged = df.withColumn("_error", reason)
+    # FAIL policies are checked eagerly (one small agg action on the batch):
+    # the reference throws at put() time, and a lazily-embedded raise_error
+    # is not reliable — Catalyst legally reorders filters around it and the
+    # raising rows can be pruned before evaluation.
+    if (
+        config.behavior_on_malformed_docs == BehaviorOnMalformedDoc.FAIL
+        or config.behavior_on_null_values == BehaviorOnNullValues.FAIL
+    ):
+        counts = df.agg(
+            F.sum(malformed_cond.cast("long")).alias("malformed"),
+            F.sum((tombstone_cond & ~malformed_cond).cast("long")).alias(
+                "tombstones"
+            ),
+        ).collect()[0]
+        if (
+            config.behavior_on_malformed_docs == BehaviorOnMalformedDoc.FAIL
+            and (counts["malformed"] or 0) > 0
+        ):
+            raise ValueError(
+                f"malformed records in batch ({counts['malformed']}) with "
+                "behavior_on_malformed_docs=fail"
+            )
+        if (
+            config.behavior_on_null_values == BehaviorOnNullValues.FAIL
+            and (counts["tombstones"] or 0) > 0
+        ):
+            raise ValueError(
+                f"null value for {counts['tombstones']} records with "
+                "behavior_on_null_values=fail"
+            )
 
-    if config.behavior_on_malformed_docs == BehaviorOnMalformedDoc.FAIL:
-        # fail the batch on first malformed record (reference FAIL policy):
-        # raise_error executes inside the plan, like the task throwing
-        tagged = tagged.withColumn(
-            "_error",
-            F.when(
-                malformed_cond,
-                F.raise_error(
-                    F.concat(F.lit("malformed record: null id in doc_key="),
-                             F.coalesce(F.col("doc_key"), F.lit("?"))),
-                ),
-            ).otherwise(F.col("_error")),
-        )
-    if config.behavior_on_null_values == BehaviorOnNullValues.FAIL:
-        tagged = tagged.withColumn(
-            "_error",
-            F.when(
-                tombstone_cond & ~malformed_cond,
-                F.raise_error(F.lit("null value for key with behavior=fail")),
-            ).otherwise(F.col("_error")),
-        )
+    reason = F.when(
+        malformed_cond, F.lit("malformed: null id column")
+    ).otherwise(F.lit(None).cast("string"))
+    tagged = df.withColumn("_error", reason)
 
     dlq = tagged.filter(F.col("_error").isNotNull())
     ok = tagged.filter(F.col("_error").isNull()).drop("_error")

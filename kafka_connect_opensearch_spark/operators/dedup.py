@@ -62,12 +62,10 @@ def with_shingles(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+def signatures_from_shingles(
+    shingled: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, minhash array<long>) — min over shingles of seeded portable
-    hashes. Docs with no shingles get nulls (excluded from LSH)."""
-    sh = with_shingles(df, text_col, id_col, n)
+    """(id, shingles) → (id, minhash array<long>); empty-shingle docs drop."""
     sig = F.array(
         *[
             F.array_min(
@@ -76,8 +74,18 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return sh.select("id", sig.alias("minhash")).filter(
+    return shingled.select("id", sig.alias("minhash")).filter(
         ~F.array_contains(F.transform(F.col("minhash"), F.isnull), F.lit(True))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, minhash array<long>) — min over shingles of seeded portable
+    hashes. Docs with no shingles get nulls (excluded from LSH)."""
+    return signatures_from_shingles(
+        with_shingles(df, text_col, id_col, n), num_hashes
     )
 
 
@@ -143,10 +151,14 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
-    Jaccard verify on candidates → pairs ≥ threshold."""
+    Jaccard verify on candidates → pairs ≥ threshold.
+
+    Shingles are computed once and cached: they feed both the signature
+    path and the verify join (3 plan subtrees otherwise re-tokenize the
+    corpus; at 100 TB the cache is a checkpointed table instead)."""
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df, text_col, id_col, n)
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sh = with_shingles(df, text_col, id_col, n).persist()
+    sigs = signatures_from_shingles(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     j = (
         cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")

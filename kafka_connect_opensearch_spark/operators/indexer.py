@@ -75,68 +75,126 @@ def doc_id_py(doc_key: str) -> int:
     return int(hashlib.sha256(doc_key.encode()).hexdigest()[:15], 16)
 
 
-def _pack_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Level-1: pack one (term, salt) group into aligned binary arrays."""
+def _pack_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack a sorted-by-(term, doc_id) frame into one partial row per term.
+
+    Vectorized over the whole frame: group boundaries via term-change
+    detection, one varint-encode per group slice (numpy; no per-group
+    Spark/Arrow machinery).
+    """
     import numpy as np
 
+    terms = pdf["term"].to_numpy()
     ids = pdf["doc_id"].to_numpy(dtype="int64")
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    tfs = pdf["tf"].to_numpy(dtype="int64")[order]
-    dls = pdf["dl"].to_numpy(dtype="int64")[order]
-    deltas = np.empty_like(ids)
-    if ids.size:
-        deltas[0] = ids[0]
-        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    tfs = pdf["tf"].to_numpy(dtype="int64")
+    dls = pdf["dl"].to_numpy(dtype="int64")
+    change = np.empty(terms.size, dtype=bool)
+    change[0] = True
+    np.not_equal(terms[1:], terms[:-1], out=change[1:])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], terms.size)
+    out_t, out_i, out_f, out_d = [], [], [], []
+    for s, e in zip(starts, ends, strict=True):
+        g_ids = ids[s:e]
+        g_tfs = tfs[s:e]
+        g_dls = dls[s:e]
+        # multiple salt groups of one term can land in one partition; rows
+        # are (salt, doc_id)-sorted there, not doc_id-sorted → sort per group
+        order = np.argsort(g_ids, kind="stable")
+        g_ids, g_tfs, g_dls = g_ids[order], g_tfs[order], g_dls[order]
+        deltas = np.empty_like(g_ids)
+        deltas[0] = g_ids[0]
+        np.subtract(g_ids[1:], g_ids[:-1], out=deltas[1:])
+        out_t.append(terms[s])
+        out_i.append(codec.varint_encode(deltas.astype("uint64")))
+        out_f.append(codec.varint_encode(g_tfs.astype("uint64")))
+        out_d.append(codec.varint_encode(g_dls.astype("uint64")))
     return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "doc_ids": [codec.varint_encode(deltas.astype("uint64"))],
-            "tfs": [codec.varint_encode(tfs.astype("uint64"))],
-            "dls": [codec.varint_encode(dls.astype("uint64"))],
-        }
+        {"term": out_t, "doc_ids": out_i, "tfs": out_f, "dls": out_d}
     )
 
 
-def _make_merge_partials(seg_name: str, block_size: int):
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+def _stream_groups(batches: Iterator[pd.DataFrame], key: str):
+    """Re-chunk an ordered batch stream so no `key` group spans two yields."""
+    carry: pd.DataFrame | None = None
+    for b in batches:
+        if carry is not None and len(carry):
+            b = pd.concat([carry, b], ignore_index=True)
+            carry = None
+        if not len(b):
+            continue
+        keys = b[key].to_numpy()
+        change = keys[1:] != keys[:-1]
         import numpy as np
 
-        ids_parts, tf_parts, dl_parts = [], [], []
-        for _, row in pdf.iterrows():
-            d = codec.varint_decode(row["doc_ids"]).astype("int64")
-            ids_parts.append(np.cumsum(d))
-            tf_parts.append(codec.varint_decode(row["tfs"]).astype("int64"))
-            dl_parts.append(codec.varint_decode(row["dls"]).astype("int64"))
-        ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
-        # same doc_id never spans salt groups (salt = f(doc_id)) → plain sort
-        order = np.argsort(ids, kind="stable")
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
-        deltas = np.empty_like(ids)
-        deltas[0] = ids[0]
-        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
-        n_blocks = -(-ids.size // block_size)
-        block_max = np.asarray(
-            [
-                tfs[i * block_size : (i + 1) * block_size].max()
-                for i in range(n_blocks)
-            ],
-            dtype="int64",
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "seg": [seg_name],
-                "df": [int(ids.size)],
-                "max_tf": [int(tfs.max())],
-                "doc_ids": [codec.varint_encode(deltas.astype("uint64"))],
-                "tfs": [codec.varint_encode(tfs.astype("uint64"))],
-                "dls": [codec.varint_encode(dls.astype("uint64"))],
-                "block_max": [codec.varint_encode(block_max.astype("uint64"))],
-            }
-        )
+        nz = np.nonzero(change)[0]
+        if nz.size == 0:
+            carry = b  # whole batch is one (possibly continuing) group
+            continue
+        split = int(nz[-1] + 1)
+        carry = b.iloc[split:]
+        yield b.iloc[:split]
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _pack_partial_stream(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for chunk in _stream_groups(batches, "term"):
+        yield _pack_rows(chunk)
+
+
+def _make_merge_stream(seg_name: str, block_size: int):
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for chunk in _stream_groups(batches, "term"):
+            terms = chunk["term"].to_numpy()
+            change = np.empty(terms.size, dtype=bool)
+            change[0] = True
+            np.not_equal(terms[1:], terms[:-1], out=change[1:])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], terms.size)
+            rows = {k: [] for k in (
+                "term", "seg", "df", "max_tf", "doc_ids", "tfs", "dls",
+                "block_max",
+            )}
+            for s, e in zip(starts, ends, strict=True):
+                parts_i, parts_f, parts_d = [], [], []
+                for j in range(s, e):
+                    d = codec.varint_decode(chunk["doc_ids"].iloc[j])
+                    parts_i.append(np.cumsum(d.astype("int64")))
+                    parts_f.append(
+                        codec.varint_decode(chunk["tfs"].iloc[j]).astype("int64")
+                    )
+                    parts_d.append(
+                        codec.varint_decode(chunk["dls"].iloc[j]).astype("int64")
+                    )
+                ids = np.concatenate(parts_i)
+                tfs = np.concatenate(parts_f)
+                dls = np.concatenate(parts_d)
+                # a doc_id never spans salt groups (salt = f(doc_id)) → sort
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                deltas = np.empty_like(ids)
+                deltas[0] = ids[0]
+                np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+                n_blocks = -(-ids.size // block_size)
+                bmax = np.asarray(
+                    [tfs[i * block_size : (i + 1) * block_size].max()
+                     for i in range(n_blocks)],
+                    dtype="int64",
+                )
+                rows["term"].append(terms[s])
+                rows["seg"].append(seg_name)
+                rows["df"].append(int(ids.size))
+                rows["max_tf"].append(int(tfs.max()))
+                rows["doc_ids"].append(codec.varint_encode(deltas.astype("uint64")))
+                rows["tfs"].append(codec.varint_encode(tfs.astype("uint64")))
+                rows["dls"].append(codec.varint_encode(dls.astype("uint64")))
+                rows["block_max"].append(codec.varint_encode(bmax.astype("uint64")))
+            yield pd.DataFrame(rows)
 
     return merge
 
@@ -144,15 +202,27 @@ def _make_merge_partials(seg_name: str, block_size: int):
 def build_segment_postings(
     doc_term_df: DataFrame, seg_name: str, config: EngineConfig
 ) -> DataFrame:
-    """(doc_id, dl, term, tf) → packed postings rows (POSTINGS_SCHEMA)."""
+    """(doc_id, dl, term, tf) → packed postings rows (POSTINGS_SCHEMA).
+
+    Two sort-based levels, one Python invocation per *partition* (not per
+    group): level 1 hash-partitions on (term, salt(doc_id)) — bounding the
+    largest reducer for stopword terms — and stream-packs sorted runs;
+    level 2 hash-partitions partials on term and stream-merges. Both
+    shuffles carry packed binary, so level 2 moves ~salt_partitions rows
+    per term regardless of posting-list length.
+    """
     salted = doc_term_df.withColumn(
         "_salt", F.pmod(F.col("doc_id"), F.lit(config.salt_partitions))
     )
-    partial = salted.groupBy("term", "_salt").applyInPandas(
-        _pack_partial, schema=PARTIAL_SCHEMA
-    )
-    return partial.groupBy("term").applyInPandas(
-        _make_merge_partials(seg_name, config.block_size), schema=POSTINGS_SCHEMA
+    l1 = salted.repartition(
+        config.shuffle_partitions, "term", "_salt"
+    ).sortWithinPartitions("term", "_salt", "doc_id")
+    partial = l1.mapInPandas(_pack_partial_stream, schema=PARTIAL_SCHEMA)
+    l2 = partial.repartition(
+        max(2, config.shuffle_partitions // 4), "term"
+    ).sortWithinPartitions("term")
+    return l2.mapInPandas(
+        _make_merge_stream(seg_name, config.block_size), schema=POSTINGS_SCHEMA
     )
 
 

@@ -1,0 +1,197 @@
+"""Log-structured segment merge (SURVEY.md D3) + index-level deletes (W3).
+
+Mirrors Lucene's merge behind the reference's bulk flushes: k immutable
+segments are rewritten into one, with document-level latest-wins across
+generations (a doc re-ingested into a newer segment shadows its older
+posting entries — the index-level continuation of the connector's external
+versioning, W4) and optional tombstone deletes applied during the rewrite.
+
+Execution shape (scales like the initial build — merge cost is O(postings)
+with the same salted two-level aggregation, no driver materialization):
+
+  postings(seg k..n) → mapInPandas decode-explode → (term, doc_id, tf, dl)
+    → anti-join losers (docs shadowed by newer segments) and deletes
+    → groupBy(term, salt) / groupBy(term) re-pack → new segment
+    → manifest entry with ``replaces=[old segments]`` (atomic commit)
+
+Old segment directories are left in place (immutable); the manifest marks
+them dead, so a crashed merge is invisible and a re-run is idempotent —
+exactly the reference's retry-safe bulk semantics (B5).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.config import EngineConfig
+from kafka_connect_opensearch_spark.operators import postings as codec
+from kafka_connect_opensearch_spark.operators.indexer import (
+    build_segment_postings,
+)
+from kafka_connect_opensearch_spark.operators.segments import (
+    BuildMetrics,
+    SegmentMeta,
+    SegmentStore,
+)
+from kafka_connect_opensearch_spark.retry import call_with_retries
+
+DECODED_SCHEMA = "term string, _segname string, doc_id long, tf long, dl long"
+
+
+def decode_postings_df(postings: DataFrame) -> DataFrame:
+    """Packed postings rows → exploded (term, seg, doc_id, tf, dl) rows.
+
+    mapInPandas so decoding is per-Arrow-batch numpy, not per-row Python.
+    The segment name travels in the stored ``seg`` column.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            terms, segs, ids, tfs, dls = [], [], [], [], []
+            for _, row in b.iterrows():
+                i, t = codec.decode_postings(row["doc_ids"], row["tfs"])
+                d = codec.varint_decode(row["dls"]).astype("int64")
+                terms.extend([row["term"]] * i.size)
+                segs.extend([row["seg"]] * i.size)
+                ids.append(i)
+                tfs.append(t)
+                dls.append(d)
+            import numpy as np
+
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "_segname": segs,
+                    "doc_id": np.concatenate(ids) if ids else [],
+                    "tf": np.concatenate(tfs) if tfs else [],
+                    "dl": np.concatenate(dls) if dls else [],
+                }
+            )
+
+    return postings.select("term", "seg", "doc_ids", "tfs", "dls").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    config: EngineConfig | None = None,
+    segment_names: list[str] | None = None,
+    delete_doc_keys: DataFrame | None = None,
+) -> BuildMetrics:
+    """Merge ``segment_names`` (default: all active) into one new segment.
+
+    ``delete_doc_keys``: optional single-column ``doc_key`` frame — those
+    documents are dropped during the rewrite (tombstone semantics W3,
+    DataConverter.java:122-139 re-cast as an index-maintenance op).
+    """
+    config = config or EngineConfig()
+    t0 = time.monotonic()
+    store = SegmentStore(index_dir)
+    segs = {s.name: s for s in store.active_segments()}
+    names = segment_names or sorted(segs)
+    if len(names) < 1:
+        return BuildMetrics()
+    metas = [segs[n] for n in names]
+    new_gen = max(m.generation for m in metas) + 1
+    seg_name = f"seg_g{new_gen}_m{int(time.time())}"
+
+    docs_parts = []
+    for m in metas:
+        docs_parts.append(
+            spark.read.parquet(f"{store.segment_path(m.name)}/docs.parquet")
+            .withColumn("_gen", F.lit(m.generation))
+            .withColumn("_segname", F.lit(m.name))
+        )
+    all_docs = docs_parts[0]
+    for d in docs_parts[1:]:
+        all_docs = all_docs.unionByName(d)
+
+    # latest-wins across generations (ties: lexicographically later segment)
+    winners = (
+        all_docs.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("doc_key", "content_sha256", "dl", "_segname"),
+                F.struct("_gen", "_segname"),
+            ).alias("w")
+        )
+        .select(
+            "doc_id",
+            F.col("w.doc_key").alias("doc_key"),
+            F.col("w.content_sha256").alias("content_sha256"),
+            F.col("w.dl").alias("dl"),
+            F.col("w._segname").alias("_segname"),
+        )
+    )
+    if delete_doc_keys is not None:
+        winners = winners.join(
+            F.broadcast(delete_doc_keys.select("doc_key").distinct()),
+            "doc_key",
+            "left_anti",
+        )
+
+    postings_paths = [
+        f"{store.segment_path(m.name)}/postings.parquet" for m in metas
+    ]
+    packed = spark.read.parquet(*postings_paths)
+    decoded = decode_postings_df(packed)
+    # keep only posting entries of surviving (doc_id, winning segment) pairs
+    survivors = decoded.join(
+        winners.select("doc_id", "_segname"), ["doc_id", "_segname"], "inner"
+    ).select("term", "doc_id", "tf", "dl")
+
+    seg_path = store.segment_path(seg_name)
+    winners.select("doc_id", "doc_key", "content_sha256", "dl").write.mode(
+        "overwrite"
+    ).parquet(f"{seg_path}/docs.parquet")
+    post = build_segment_postings(survivors, seg_name, config)
+    post.repartitionByRange(
+        max(2, config.shuffle_partitions // 8), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        f"{seg_path}/postings.parquet"
+    )
+
+    drow = (
+        spark.read.parquet(f"{seg_path}/docs.parquet")
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+        .collect()[0]
+    )
+    prow = (
+        spark.read.parquet(f"{seg_path}/postings.parquet")
+        .agg(F.count("*").alias("t"), F.coalesce(F.sum("df"), F.lit(0)).alias("p"))
+        .collect()[0]
+    )
+    meta = SegmentMeta(
+        name=seg_name,
+        generation=new_gen,
+        doc_count=int(drow["n"]),
+        sum_dl=int(drow["s"]),
+        n_terms=int(prow["t"]),
+        n_postings=int(prow["p"]),
+    )
+    store.write_segmeta(meta)
+    call_with_retries(
+        f"commit merge {seg_name}",
+        lambda: store.commit_batch(
+            f"merge_{seg_name}",
+            {"batch": f"merge_{seg_name}", "segments": [meta.__dict__],
+             "replaces": names},
+        ),
+        max_retries=config.max_retries,
+        retry_backoff_ms=config.retry_backoff_ms,
+    )
+    out = BuildMetrics(
+        docs_indexed=meta.doc_count,
+        postings_written=meta.n_postings,
+        segments_built=1,
+        segments_merged=len(names),
+    )
+    out.wall_secs = time.monotonic() - t0
+    return out

@@ -1,0 +1,152 @@
+"""Dedup + similarity operators against hand-computed / numpy oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+from kafka_connect_opensearch_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "spark engines about completely different content"),  # reorder of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["digest"]: (r["keep_id"], r["n_dupes"])
+           for r in dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    d1 = hashlib.sha256(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out[d1] == (1, 2)  # doc 4 deduped onto doc 1
+    assert len(out) == 4
+
+
+def test_hash64_portable(spark):
+    df = spark.createDataFrame([("hello",)], "s string")
+    got = df.select(dedup.hash64("s", "x:").alias("h")).collect()[0]["h"]
+    want = int(hashlib.md5(b"x:hello").hexdigest()[:15], 16)
+    assert got == want
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               docs, "text", "doc_id", n=3, threshold=0.3).collect()}
+    assert out[(1, 4)] == 1.0  # exact dup
+    # docs 1/2: 7 distinct shingles each, 6 shared → 6/8
+    assert (1, 2) in out and abs(out[(1, 2)] - 0.75) < 1e-6
+    assert (1, 3) not in out
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.minhash_lsh_dedup(
+               docs, "text", "doc_id", threshold=0.3).collect()}
+    assert out[(1, 4)] == 1.0        # identical docs always collide in LSH
+    for (a, b), j in out.items():
+        assert a < b and j >= 0.3
+
+
+def test_simhash_properties(spark, docs):
+    out = {r["id"]: r["simhash"] for r in
+           dedup.simhash(docs, "text", "doc_id").collect()}
+    assert out[1] == out[4]                    # identical docs → same hash
+    assert out[3] == out[5]                    # bag-of-words (order-free)
+    d12 = bin(out[1] ^ out[2]).count("1")
+    d13 = bin(out[1] ^ out[3]).count("1")
+    assert d12 < d13                           # near-dup closer than unrelated
+
+
+def test_simhash_matches_numpy_oracle(spark, docs):
+    rows = docs.collect()
+    want = {}
+    for r in rows:
+        votes = np.zeros(60)
+        toks = tokenize_py(r["text"])
+        from collections import Counter
+
+        for term, tf in Counter(toks).items():
+            h = int(hashlib.md5(f"sh:{term}".encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += tf * (((h >> b) & 1) * 2 - 1)
+        want[r["doc_id"]] = sum(1 << b for b in range(60) if votes[b] > 0)
+    got = {r["id"]: r["simhash"] for r in
+           dedup.simhash(docs, "text", "doc_id").collect()}
+    assert got == want
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    got = df.select(
+        dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")
+    ).collect()[0]["d"]
+    assert got == 2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 20):
+        noise = rng.standard_normal(8) * (0.05 if i < 5 else 1.5)
+        rows.append((i, [float(x) for x in base + noise]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    rows = vectors.collect()
+    q = np.array(rows[0]["embedding"])
+    sims = {}
+    for r in rows[1:]:
+        v = np.array(r["embedding"])
+        sims[r["vec_id"]] = round(
+            float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6
+        )
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.brute_force_topk(
+            vectors.filter(F.col("vec_id") > 0), q, k=5
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_lsh_topk_high_recall_on_near_vectors(spark, vectors):
+    rows = vectors.collect()
+    q = np.array(rows[0]["embedding"])
+    got = {
+        r["vec_id"]
+        for r in similarity.lsh_bucketed_topk(
+            vectors.filter(F.col("vec_id") > 0), q, k=4,
+            n_planes=8, probe_radius=2,
+        ).collect()
+    }
+    # the 4 tight neighbors (ids 1-4) live near q; multi-probe LSH must
+    # recover most of them
+    assert len(got & {1, 2, 3, 4}) >= 3
+
+
+def test_knn_join_ranks(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = vectors.filter(F.col("vec_id") >= 2)
+    out = similarity.knn_join(corpus, probes, k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert set(by_probe) == {0, 1}
+    assert sorted(by_probe[0]) == [1, 2, 3]

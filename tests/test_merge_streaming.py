@@ -1,0 +1,153 @@
+"""Segment merge (D3) and streaming ingestion tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark.config import DOC_KEY_SEP, EngineConfig
+from kafka_connect_opensearch_spark.operators.bm25 import (
+    IndexReader,
+    brute_force_bm25,
+)
+from kafka_connect_opensearch_spark.operators.indexer import (
+    build_index,
+    doc_id_py,
+)
+from kafka_connect_opensearch_spark.operators.merge import merge_segments
+from kafka_connect_opensearch_spark.operators.segments import SegmentStore
+from kafka_connect_opensearch_spark.sources.corpus import (
+    generate_corpus,
+    generate_corpus_pandas,
+)
+
+N = 150
+CFG = EngineConfig(num_segments=4, salt_partitions=2, shuffle_partitions=4)
+
+
+def _oracle_pdf(n=N):
+    pdf = generate_corpus_pandas(n)
+    pdf["doc_key"] = [
+        DOC_KEY_SEP.join(t)
+        for t in zip(pdf["repo"], pdf["path"], pdf["commit"], strict=True)
+    ]
+    pdf["doc_id"] = pdf["doc_key"].map(doc_id_py)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("merged"))
+    build_index(spark, generate_corpus(spark, N), d, CFG)
+    store = SegmentStore(d)
+    assert len(store.active_segments()) == 4
+    m = merge_segments(spark, d, CFG)
+    assert m.segments_merged == 4 and m.segments_built == 1
+    assert len(store.active_segments()) == 1
+    return d
+
+
+def test_merge_preserves_search_results(spark, merged_index):
+    """Rank-identical BM25 before/after merge (scores bit-identical to the
+    brute-force oracle either way)."""
+    reader = IndexReader(spark, merged_index)
+    assert reader.doc_count() == N
+    pdf = _oracle_pdf()
+    for q, mode in [("ident_1 return", "or"), ("return import", "and"),
+                    ("ident_2", "or")]:
+        got = reader.search(q, k=10, mode=mode).toPandas()
+        want = brute_force_bm25(pdf, q, k=10, mode=mode, text_col="content")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), want["score"].to_numpy()
+        )
+
+
+def test_merge_latest_wins_across_generations(spark, tmp_path):
+    """Re-ingesting changed content for the same doc identity: the newer
+    generation shadows the older one after merge (W4 at index level)."""
+    d = str(tmp_path / "idx")
+    v1 = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "alpha beta gamma"),
+         ("r", "b.py", "c1", "py", "delta epsilon")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = EngineConfig(num_segments=1, salt_partitions=2)
+    build_index(spark, v1, d, cfg)
+    # re-ingest doc a.py/c1 with different content into a new segment:
+    # same (repo,path,commit) identity → same doc_id
+    store = SegmentStore(d)
+    v2 = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "alpha omega omega")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        _build_one_segment,
+        prepare_documents,
+    )
+
+    seg2 = _build_one_segment(
+        spark, prepare_documents(v2), store, "seg_g1_reingest", cfg
+    )
+    seg2.generation = 1
+    store.write_segmeta(seg2)
+    store.commit_batch(
+        "reingest", {"batch": "reingest", "segments": [seg2.__dict__],
+                     "replaces": []}
+    )
+    merge_segments(spark, d, cfg)
+    reader = IndexReader(spark, d)
+    assert reader.doc_count() == 2
+    assert reader.match_count("omega") == 1     # new content searchable
+    assert reader.match_count("beta") == 0      # old content shadowed
+    assert reader.match_count("delta") == 1     # untouched doc intact
+
+
+def test_merge_applies_deletes(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    src = generate_corpus(spark, 40)
+    cfg = EngineConfig(num_segments=2, salt_partitions=2)
+    build_index(spark, src, d, cfg)
+    pdf = _oracle_pdf(40)
+    victim_keys = pdf["doc_key"].iloc[:5].tolist()
+    deletes = spark.createDataFrame([(k,) for k in victim_keys],
+                                    "doc_key string")
+    merge_segments(spark, d, cfg, delete_doc_keys=deletes)
+    reader = IndexReader(spark, d)
+    assert reader.doc_count() == 35
+    remaining = {r["doc_id"] for r in reader.docs().select("doc_id").collect()}
+    assert remaining == set(pdf["doc_id"].iloc[5:])
+
+
+def test_streaming_ingest(spark, tmp_path):
+    """File-stream ingestion: micro-batches become segments; the stream's
+    index answers identically to a batch-built one."""
+    from kafka_connect_opensearch_spark.sources.corpus import CORPUS_SCHEMA
+    from kafka_connect_opensearch_spark.streaming.ingest import (
+        start_streaming_index_build,
+    )
+
+    src_dir = str(tmp_path / "stream_src")
+    pdf = _oracle_pdf(60)
+    corpus = generate_corpus(spark, 60)
+    # two "arriving" files
+    corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0).write.parquet(
+        src_dir, mode="append"
+    )
+    corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 1).write.parquet(
+        src_dir, mode="append"
+    )
+    idx_dir = str(tmp_path / "sidx")
+    q = start_streaming_index_build(
+        spark, src_dir, CORPUS_SCHEMA, idx_dir, str(tmp_path / "ckpt"),
+        EngineConfig(num_segments=1, salt_partitions=2),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+    reader = IndexReader(spark, idx_dir)
+    assert reader.doc_count() == 60
+    got = reader.search("ident_1 return", k=10).toPandas()
+    want = brute_force_bm25(pdf, "ident_1 return", k=10, text_col="content")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())

@@ -1,0 +1,72 @@
+"""Plan-shape assertions: the 100-TB efficiency contract, pinned in CI.
+
+Each test asserts the physical plan Catalyst actually produces — pushdown
+reaching the scan, broadcasts chosen, top-k avoiding global sorts, column
+pruning — so a regression that silently de-optimizes a path fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_opensearch_spark import plans
+from kafka_connect_opensearch_spark.functions.analysis import tokenize
+
+
+@pytest.fixture(scope="module")
+def tpch(spark, tmp_path_factory):
+    """Parquet-backed mini warehouse (plans differ for in-memory relations)."""
+    d = str(tmp_path_factory.mktemp("wh"))
+    spark.createDataFrame(
+        [(i, f"c{i}", i % 5) for i in range(100)],
+        "c_custkey long, c_name string, c_nationkey int",
+    ).write.parquet(f"{d}/customer")
+    spark.createDataFrame(
+        [(i, i % 100, float(i) * 1.5) for i in range(2000)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{d}/orders")
+    return d
+
+
+def test_filter_and_pruning_reach_scan(spark, tpch):
+    orders = spark.read.parquet(f"{tpch}/orders")
+    q = orders.filter(F.col("o_custkey") == 7).select("o_orderkey")
+    assert plans.has_pushed_filter(q, "o_custkey")
+    cols = plans.reads_columns(q)
+    assert "o_totalprice" not in cols  # column pruning
+    assert plans.codegen_stage_count(q) >= 1
+
+
+def test_small_dim_join_broadcasts(spark, tpch):
+    orders = spark.read.parquet(f"{tpch}/orders")
+    cust = spark.read.parquet(f"{tpch}/customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert plans.has_broadcast_join(j)
+    # a broadcast join must not shuffle the fact side
+    assert plans.count_exchanges(j) <= 1  # only the broadcast exchange
+
+
+def test_topk_plans_take_ordered(spark, tpch):
+    orders = spark.read.parquet(f"{tpch}/orders")
+    q = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    assert plans.has_take_ordered(q)
+
+
+def test_tokenize_is_codegen_not_python(spark, tpch):
+    """The analyzer must compile to JVM expressions — no BatchEvalPython /
+    ArrowEvalPython stage in the plan."""
+    orders = spark.read.parquet(f"{tpch}/orders")
+    q = orders.select(tokenize(F.col("o_orderkey").cast("string")).alias("t"))
+    plan = plans.executed_plan(q)
+    assert "EvalPython" not in plan
+    assert plans.codegen_stage_count(q) >= 1
+
+
+def test_agg_has_partial_stage(spark, tpch):
+    """groupBy must plan partial (map-side) aggregation before the shuffle."""
+    orders = spark.read.parquet(f"{tpch}/orders")
+    q = orders.groupBy("o_custkey").agg(F.sum("o_totalprice"))
+    plan = plans.executed_plan(q)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plans.count_exchanges(q) == 1     # exactly one shuffle
