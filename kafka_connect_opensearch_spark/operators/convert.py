@@ -161,6 +161,23 @@ def upsert_documents(
     )
 
 
+def add_timestamp(
+    df: DataFrame,
+    ts_field_candidates: tuple[str, ...] = (),
+    batch_ts: Column | None = None,
+    out: str = "@timestamp",
+) -> DataFrame:
+    """P5: data-stream timestamp injection (DataConverter.maybeAddTimestamp,
+    DataConverter.java:202-223): take the first non-null configured
+    timestamp field, else the record/batch timestamp."""
+    candidates = [F.col(c) for c in ts_field_candidates if c in df.columns]
+    if batch_ts is not None:
+        candidates.append(batch_ts)
+    if not candidates:
+        candidates = [F.current_timestamp()]
+    return df.withColumn(out, F.coalesce(*candidates))
+
+
 # --- §1.2b value preprocessing for schema'd payloads -----------------------
 
 
