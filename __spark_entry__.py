@@ -50,10 +50,7 @@ COSINE_PAIR_THRESHOLD = 0.45
 
 # DuckDB-side analyzer — identical semantics to functions.analysis.tokenize
 def _toks_sql(col: str) -> str:
-    return (
-        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), "
-        f"t -> t <> '' AND length(t) <= 256)"
-    )
+    return f"regexp_extract_all(lower({col}), '[a-z0-9_]+')"
 
 
 def _h64_sql(expr: str, seed: str) -> str:

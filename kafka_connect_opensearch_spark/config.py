@@ -44,13 +44,16 @@ class ConfigException(ValueError):
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-# Analyzer contract: lowercase, split on anything that is not [a-z0-9_].
-# The same regex is used by the Spark engine, the numpy oracle, and the
-# DuckDB oracle SQL so tokenization is bit-identical across all three.
-TOKEN_SPLIT_REGEX = "[^a-z0-9_]+"
-# keyword multi-field ignore_above parity (Mapping.java:106-118): tokens
-# longer than this are dropped from the index (they could never match a
-# query term under the same analyzer).
+# Analyzer contract: lowercase, tokens are maximal [a-z0-9_]+ runs.
+# A pure character-class pattern (no \b/\w/lookaround) is the only regex
+# shape whose semantics are identical across Java (Spark), RE2 (DuckDB),
+# and Python re — and regexp_extract_all is ~10x faster than
+# split+filter-HOF (ArrayFilter is CodegenFallback). The same pattern is
+# used by the engine, the numpy oracle, and the DuckDB oracle SQL so
+# tokenization is bit-identical across all three.
+TOKEN_PATTERN = "[a-z0-9_]+"
+# retained for the keyword multi-field mapping (Mapping.java:106-118);
+# NOT part of the analyzer (ignore_above governs the keyword field only)
 MAX_TOKEN_LENGTH = 256
 
 # Posting-list block size for block-max metadata (docs per block).
@@ -91,6 +94,13 @@ class EngineConfig:
     behavior_on_malformed_docs: BehaviorOnMalformedDoc = BehaviorOnMalformedDoc.FAIL
     # --- index build ---
     num_segments: int = 8            # micro-batches per build (segment count)
+    # concurrent segment-build jobs from driver threads. The reference's
+    # max.in.flight.requests analog for builds, but defaulting to 1:
+    # a Spark job already spans the whole cluster, and concurrent
+    # Python-UDF stages thrash the per-executor python-worker pool
+    # (measured 2.7× slower at inflight=5 vs 1 on local[32]). Raise only
+    # when single jobs can't saturate the cluster (many tiny segments).
+    build_concurrency: int = 1
     shuffle_partitions: int = 32
     salt_partitions: int = 8         # two-level agg fanout for hot terms
     block_size: int = POSTINGS_BLOCK_SIZE
@@ -144,6 +154,8 @@ class EngineConfig:
             raise ConfigException("num_segments must be >= 1")
         if self.salt_partitions < 1:
             raise ConfigException("salt_partitions must be >= 1")
+        if self.build_concurrency < 1:
+            raise ConfigException("build_concurrency must be >= 1")
         if self.block_size < 1:
             raise ConfigException("block_size must be >= 1")
         if not (self.k1 >= 0 and 0 <= self.b <= 1):

@@ -66,21 +66,13 @@ class IndexReader:
         return self.store.global_stats()[0]
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
-        paths = [
-            f"{self.store.segment_path(s.name)}/postings.parquet"
-            for s in self._segments
-        ]
-        df = self.spark.read.parquet(*paths)
+        df = self.store.read_postings(self.spark, self._segments)
         if terms is not None:
             df = df.filter(F.col("term").isin(list(terms)))  # pushed to scan
         return df
 
     def docs(self) -> DataFrame:
-        paths = [
-            f"{self.store.segment_path(s.name)}/docs.parquet"
-            for s in self._segments
-        ]
-        return self.spark.read.parquet(*paths)
+        return self.store.read_docs(self.spark, self._segments)
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global df per term (segments are doc-disjoint → df sums).
@@ -93,17 +85,26 @@ class IndexReader:
         """
         import pyarrow.dataset as pads
 
-        paths = [
-            f"{self.store.segment_path(s.name)}/postings.parquet"
-            for s in self._segments
+        scans = []  # (path, optional seg-name filter)
+        bulk: dict[str, list[str]] = {}
+        for s in self._segments:
+            if s.path:
+                bulk.setdefault(s.path, []).append(s.name)
+            else:
+                scans.append(
+                    (f"{self.store.segment_path(s.name)}/postings.parquet",
+                     None)
+                )
+        scans += [
+            (f"{root}/postings.parquet", names) for root, names in bulk.items()
         ]
         out: dict[str, int] = dict.fromkeys(terms, 0)
-        for p in paths:
-            dset = pads.dataset(p, format="parquet")
-            tbl = dset.to_table(
-                columns=["term", "df"],
-                filter=pads.field("term").isin(terms),
-            )
+        for p, names in scans:
+            dset = pads.dataset(p, format="parquet", partitioning="hive")
+            flt = pads.field("term").isin(terms)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(columns=["term", "df"], filter=flt)
             for t, d in zip(
                 tbl["term"].to_pylist(), tbl["df"].to_pylist(), strict=True
             ):
@@ -356,12 +357,8 @@ def brute_force_bm25(
         contrib = np.zeros(n, dtype=np.float64)
         contrib[has] = w * bm25_tf_weight(tf[has], dls[has], avgdl, k1, b)
         scores += contrib
-    present = [t for t, _ in qterms]
-    need = len(present) if mode == "and" else 1
-    # docs matching no term are not hits
-    ok = matched >= max(1, need if mode == "and" else 1)
-    if mode == "and":
-        ok = matched >= len(qterms)
+    # OR: any term matches; AND: every query term matches
+    ok = matched >= (len(qterms) if mode == "and" else 1)
     idx = np.nonzero(ok)[0]
     order = np.lexsort((ids[idx], -scores[idx]))[:k]
     sel = idx[order]

@@ -5,9 +5,9 @@ connector's bulk-flush unit, OpenSearchClient.java:145-155):
 
   source batch
     → tokenize (JVM built-ins, whole-stage codegen)
-    → term_frequencies (Arrow UDF = map-side combine: one row per distinct
-      (doc, term), not per occurrence)
-    → explode map
+    → explode + shuffle-free hash aggregate (the batch is doc_id-partitioned,
+      so tf-per-(doc,term) needs no exchange: one row per distinct (doc,
+      term) leaves the stage, not one per occurrence)
     → groupBy(term, salt(doc_id)) applyInPandas  — level-1 salted pack
     → groupBy(term)              applyInPandas  — level-2 merge + block-max
     → parquet segment, range-partitioned + sorted by term (row-group min/max
@@ -34,13 +34,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from kafka_connect_opensearch_spark.config import DOC_KEY_SEP, EngineConfig
-from kafka_connect_opensearch_spark.functions.analysis import (
-    term_frequencies,
-    tokenize,
-)
+from kafka_connect_opensearch_spark.functions.analysis import tokenize
 from kafka_connect_opensearch_spark.operators import postings as codec
 from kafka_connect_opensearch_spark.operators.segments import (
     DOCS_COLUMNS,
@@ -52,6 +47,7 @@ from kafka_connect_opensearch_spark.operators.segments import (
 from kafka_connect_opensearch_spark.retry import call_with_retries
 
 PARTIAL_SCHEMA = "term string, doc_ids binary, tfs binary, dls binary"
+PARTIAL_COLS = ["term", "doc_ids", "tfs", "dls"]
 
 
 def doc_id_expr(doc_key_col: str = "doc_key") -> F.Column:
@@ -76,11 +72,12 @@ def doc_id_py(doc_key: str) -> int:
 
 
 def _pack_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pack a sorted-by-(term, doc_id) frame into one partial row per term.
+    """Pack a term-sorted frame into one partial row per term.
 
-    Vectorized over the whole frame: group boundaries via term-change
-    detection, one varint-encode per group slice (numpy; no per-group
-    Spark/Arrow machinery).
+    Fully vectorized: one lexsort (rows arrive (term, salt, doc_id)-sorted,
+    not (term, doc_id)-sorted — salt sub-runs must interleave), one delta
+    pass, and ONE varint-encode pass per column with per-group byte
+    slicing. No per-group numpy calls.
     """
     import numpy as np
 
@@ -91,31 +88,32 @@ def _pack_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     change = np.empty(terms.size, dtype=bool)
     change[0] = True
     np.not_equal(terms[1:], terms[:-1], out=change[1:])
-    starts = np.nonzero(change)[0]
-    ends = np.append(starts[1:], terms.size)
-    out_t, out_i, out_f, out_d = [], [], [], []
-    for s, e in zip(starts, ends, strict=True):
-        g_ids = ids[s:e]
-        g_tfs = tfs[s:e]
-        g_dls = dls[s:e]
-        # multiple salt groups of one term can land in one partition; rows
-        # are (salt, doc_id)-sorted there, not doc_id-sorted → sort per group
-        order = np.argsort(g_ids, kind="stable")
-        g_ids, g_tfs, g_dls = g_ids[order], g_tfs[order], g_dls[order]
-        deltas = np.empty_like(g_ids)
-        deltas[0] = g_ids[0]
-        np.subtract(g_ids[1:], g_ids[:-1], out=deltas[1:])
-        out_t.append(terms[s])
-        out_i.append(codec.varint_encode(deltas.astype("uint64")))
-        out_f.append(codec.varint_encode(g_tfs.astype("uint64")))
-        out_d.append(codec.varint_encode(g_dls.astype("uint64")))
+    gidx = np.cumsum(change) - 1
+    order = np.lexsort((ids, gidx))
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
+    starts = np.nonzero(change)[0]  # group boundaries invariant under sort
+    deltas = ids.copy()
+    deltas[1:] -= ids[:-1]
+    deltas[starts] = ids[starts]
     return pd.DataFrame(
-        {"term": out_t, "doc_ids": out_i, "tfs": out_f, "dls": out_d}
+        {
+            "term": terms[starts],
+            "doc_ids": codec.varint_encode_grouped(deltas.astype("uint64"), starts),
+            "tfs": codec.varint_encode_grouped(tfs.astype("uint64"), starts),
+            "dls": codec.varint_encode_grouped(dls.astype("uint64"), starts),
+        }
     )
 
 
-def _stream_groups(batches: Iterator[pd.DataFrame], key: str):
-    """Re-chunk an ordered batch stream so no `key` group spans two yields."""
+def _stream_groups(batches: Iterator[pd.DataFrame], key):
+    """Re-chunk an ordered batch stream so no key group spans two yields.
+
+    ``key``: column name or list of names (composite keys compare
+    element-wise across all columns).
+    """
+    import numpy as np
+
+    keys = [key] if isinstance(key, str) else list(key)
     carry: pd.DataFrame | None = None
     for b in batches:
         if carry is not None and len(carry):
@@ -123,10 +121,10 @@ def _stream_groups(batches: Iterator[pd.DataFrame], key: str):
             carry = None
         if not len(b):
             continue
-        keys = b[key].to_numpy()
-        change = keys[1:] != keys[:-1]
-        import numpy as np
-
+        change = np.zeros(len(b) - 1, dtype=bool)
+        for k in keys:
+            arr = b[k].to_numpy()
+            change |= arr[1:] != arr[:-1]
         nz = np.nonzero(change)[0]
         if nz.size == 0:
             carry = b  # whole batch is one (possibly continuing) group
@@ -145,58 +143,222 @@ def _pack_partial_stream(
         yield _pack_rows(chunk)
 
 
-def _make_merge_stream(seg_name: str, block_size: int):
+def _pack_docs_direct(batches):
+    """(doc_id, dl, tokens) Arrow batches → packed partial postings.
+
+    The level-1 aggregation happens inside the doc-partitioned scan stage
+    with NO explode and NO Python string objects: the token lists stay in
+    Arrow, ``dictionary_encode`` (C++) replaces per-token Python work, and
+    everything after is int64 numpy. The shuffle that follows carries one
+    *packed binary* row per (term, partition) — ~20× fewer bytes than raw
+    (doc, term, tf) rows — and the 5×-corpus-size occurrence stream never
+    materializes anywhere.
+
+    Used via ``DataFrame.mapInArrow`` (input/output are pyarrow
+    RecordBatches).
+    """
+    import pyarrow as pa
+
+    for rb in batches:
+        out = _pack_doc_group_arrow(
+            rb.column("doc_id"),
+            rb.column("dl"),
+            rb.column("tokens"),
+        )
+        if out is not None:
+            yield pa.RecordBatch.from_arrays(out, names=PARTIAL_COLS)
+
+
+def _pack_doc_group_arrow(doc_id_arr, dl_arr, tokens_arr):
+    """Core level-1 pack on Arrow arrays; returns [term, doc_ids, tfs, dls]
+    Arrow arrays or None for an empty group."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(doc_id_arr)
+    if n == 0:
+        return None
+    la = tokens_arr
+    if isinstance(la, pa.ChunkedArray):  # pragma: no cover — RB cols are flat
+        la = la.combine_chunks()
+    flat = la.flatten()  # zero-copy view of all tokens, offset-aware
+    if len(flat) == 0:
+        return None
+    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary
+    doc_ids = doc_id_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = dl_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # order docs by doc_id so packed lists come out ascending
+    doc_order = np.argsort(doc_ids, kind="stable")
+    doc_rank = np.empty(n, dtype=np.int64)
+    doc_rank[doc_order] = np.arange(n)
+    key = codes * n + doc_rank[doc_rep]
+    uniq_key, tfs = np.unique(key, return_counts=True)
+    t_idx = uniq_key // n
+    d_rank = uniq_key % n
+    ids = doc_ids[doc_order][d_rank]
+    out_dls = dls[doc_order][d_rank]
+    change = np.empty(t_idx.size, dtype=bool)
+    change[0] = True
+    np.not_equal(t_idx[1:], t_idx[:-1], out=change[1:])
+    starts = np.nonzero(change)[0]
+    deltas = ids.copy()
+    deltas[1:] -= ids[:-1]
+    deltas[starts] = ids[starts]
+    terms = uniques.take(pa.array(t_idx[starts], type=pa.int64())).cast(
+        pa.string()
+    )
+    return [
+        terms,
+        pa.array(
+            codec.varint_encode_grouped(deltas.astype("uint64"), starts),
+            type=pa.binary(),
+        ),
+        pa.array(
+            codec.varint_encode_grouped(tfs.astype("uint64"), starts),
+            type=pa.binary(),
+        ),
+        pa.array(
+            codec.varint_encode_grouped(out_dls.astype("uint64"), starts),
+            type=pa.binary(),
+        ),
+    ]
+
+
+def _pack_docs_direct_by_seg(batches):
+    """Seg-aware level-1 pack (mapInArrow): input batches carry a ``seg``
+    column; each seg group within a batch packs independently (bulk path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        segs = rb.column("seg")
+        for seg in pc.unique(segs):
+            sub = rb.filter(pc.equal(segs, seg))
+            out = _pack_doc_group_arrow(
+                sub.column("doc_id"), sub.column("dl"), sub.column("tokens")
+            )
+            if out is not None:
+                seg_col = pa.array([seg.as_py()] * len(out[0]), type=pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [out[0], seg_col, *out[1:]],
+                    names=["term", "seg", *PARTIAL_COLS[1:]],
+                )
+
+
+def _make_merge_stream(seg_name: str | None, block_size: int):
+    """Level-2 merge, vectorized across the whole chunk: all partial rows'
+    buffers decode in ONE pass per column (varint_decode_concat), doc_ids
+    reconstruct with reset-cumsum, one lexsort regroups by term, and all
+    posting lists + block maxima re-encode in one pass per column.
+
+    ``seg_name``: stamp this segment name (classic per-segment build), or
+    None → partials carry a ``seg`` column and groups key on (seg, term)
+    (bulk build)."""
+    group_key = "term" if seg_name is not None else ["seg", "term"]
+
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        for chunk in _stream_groups(batches, "term"):
-            terms = chunk["term"].to_numpy()
-            change = np.empty(terms.size, dtype=bool)
-            change[0] = True
-            np.not_equal(terms[1:], terms[:-1], out=change[1:])
-            starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], terms.size)
-            rows = {k: [] for k in (
-                "term", "seg", "df", "max_tf", "doc_ids", "tfs", "dls",
-                "block_max",
-            )}
-            for s, e in zip(starts, ends, strict=True):
-                parts_i, parts_f, parts_d = [], [], []
-                for j in range(s, e):
-                    d = codec.varint_decode(chunk["doc_ids"].iloc[j])
-                    parts_i.append(np.cumsum(d.astype("int64")))
-                    parts_f.append(
-                        codec.varint_decode(chunk["tfs"].iloc[j]).astype("int64")
-                    )
-                    parts_d.append(
-                        codec.varint_decode(chunk["dls"].iloc[j]).astype("int64")
-                    )
-                ids = np.concatenate(parts_i)
-                tfs = np.concatenate(parts_f)
-                dls = np.concatenate(parts_d)
-                # a doc_id never spans salt groups (salt = f(doc_id)) → sort
-                order = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
-                deltas = np.empty_like(ids)
-                deltas[0] = ids[0]
-                np.subtract(ids[1:], ids[:-1], out=deltas[1:])
-                n_blocks = -(-ids.size // block_size)
-                bmax = np.asarray(
-                    [tfs[i * block_size : (i + 1) * block_size].max()
-                     for i in range(n_blocks)],
-                    dtype="int64",
-                )
-                rows["term"].append(terms[s])
-                rows["seg"].append(seg_name)
-                rows["df"].append(int(ids.size))
-                rows["max_tf"].append(int(tfs.max()))
-                rows["doc_ids"].append(codec.varint_encode(deltas.astype("uint64")))
-                rows["tfs"].append(codec.varint_encode(tfs.astype("uint64")))
-                rows["dls"].append(codec.varint_encode(dls.astype("uint64")))
-                rows["block_max"].append(codec.varint_encode(bmax.astype("uint64")))
-            yield pd.DataFrame(rows)
+        for chunk in _stream_groups(batches, group_key):
+            row_terms = chunk["term"].to_numpy()
+            d_vals, d_row = codec.varint_decode_concat(list(chunk["doc_ids"]))
+            t_vals, _ = codec.varint_decode_concat(list(chunk["tfs"]))
+            l_vals, _ = codec.varint_decode_concat(list(chunk["dls"]))
+            if d_vals.size == 0:
+                continue
+            # per-partial-row delta cumsum (rows are independent delta runs)
+            run_change = np.empty(d_row.size, dtype=bool)
+            run_change[0] = True
+            np.not_equal(d_row[1:], d_row[:-1], out=run_change[1:])
+            run_starts = np.nonzero(run_change)[0]
+            ids = codec.cumsum_with_resets(d_vals.astype("int64"), run_starts)
+            tfs = t_vals.astype("int64")
+            dls = l_vals.astype("int64")
+            # regroup by (seg,)term: group index of each value via its row
+            row_change = np.empty(row_terms.size, dtype=bool)
+            row_change[0] = True
+            np.not_equal(row_terms[1:], row_terms[:-1], out=row_change[1:])
+            if seg_name is None:
+                row_segs = chunk["seg"].to_numpy()
+                row_change[1:] |= row_segs[1:] != row_segs[:-1]
+            row_gidx = np.cumsum(row_change) - 1
+            v_gidx = row_gidx[d_row]
+            order = np.lexsort((ids, v_gidx))
+            ids, tfs, dls, v_gidx = (
+                ids[order], tfs[order], dls[order], v_gidx[order],
+            )
+            g_change = np.empty(v_gidx.size, dtype=bool)
+            g_change[0] = True
+            np.not_equal(v_gidx[1:], v_gidx[:-1], out=g_change[1:])
+            starts = np.nonzero(g_change)[0]
+            ends = np.append(starts[1:], v_gidx.size)
+            deltas = ids.copy()
+            deltas[1:] -= ids[:-1]
+            deltas[starts] = ids[starts]
+            dfs = ends - starts
+            max_tf = np.maximum.reduceat(tfs, starts)
+            # block boundaries across all groups in one reduceat
+            n_blocks = -(-dfs // block_size)
+            block_bounds = np.concatenate(
+                [np.arange(s, e, block_size) for s, e in
+                 zip(starts, ends, strict=True)]
+            )
+            bmax_all = np.maximum.reduceat(tfs, block_bounds)
+            bmax_starts = np.concatenate(([0], np.cumsum(n_blocks)[:-1]))
+            group_rows = np.nonzero(row_change)[0]
+            yield pd.DataFrame(
+                {
+                    "term": row_terms[group_rows],
+                    "seg": seg_name if seg_name is not None
+                    else chunk["seg"].to_numpy()[group_rows],
+                    "df": dfs.astype("int64"),
+                    "max_tf": max_tf.astype("int64"),
+                    "doc_ids": codec.varint_encode_grouped(
+                        deltas.astype("uint64"), starts
+                    ),
+                    "tfs": codec.varint_encode_grouped(
+                        tfs.astype("uint64"), starts
+                    ),
+                    "dls": codec.varint_encode_grouped(
+                        dls.astype("uint64"), starts
+                    ),
+                    "block_max": codec.varint_encode_grouped(
+                        bmax_all.astype("uint64"), bmax_starts
+                    ),
+                }
+            )
 
     return merge
+
+
+def build_segment_postings_from_docs(
+    analyzed: DataFrame, seg_name: str, config: EngineConfig
+) -> DataFrame:
+    """(doc_id, dl, tokens) → packed postings rows, explode-free.
+
+    Level 1 is :func:`_pack_docs_direct` inside the doc-partitioned stage —
+    the doc-hash partitioning plays the salt role (a hot term's postings
+    split across all partitions; no reducer sees more than a partition's
+    worth at level 1). Level 2 shuffles only packed partials by term.
+    Per-term level-2 group size is bounded by the segment's doc count —
+    the same bound Lucene accepts for per-segment posting lists.
+    """
+    partial = analyzed.select("doc_id", "dl", "tokens").mapInArrow(
+        _pack_docs_direct, schema=PARTIAL_SCHEMA
+    )
+    l2 = partial.repartition(
+        max(2, config.shuffle_partitions // 4), "term"
+    ).sortWithinPartitions("term")
+    return l2.mapInPandas(
+        _make_merge_stream(seg_name, config.block_size), schema=POSTINGS_SCHEMA
+    )
 
 
 def build_segment_postings(
@@ -226,20 +388,22 @@ def build_segment_postings(
     )
 
 
-def prepare_documents(
+def prepare_identity(
     source: DataFrame,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     content_col: str = "content",
     doc_id_col: str | None = None,
 ) -> DataFrame:
-    """Project a source table to the canonical doc frame.
+    """Identity phase (cheap): ``doc_key`` (separator-joined id columns —
+    the reference's "{topic}+{partition}+{offset}" identity,
+    DataConverter.java:156-158), ``doc_id`` (int64), ``content_sha256``
+    (north-rule parity column). When the source already carries a numeric
+    id (``doc_id_col``, the key.ignore=false path: DataConverter.java:
+    87-114), it is used directly instead of the hashed key.
 
-    Adds: ``doc_key`` (separator-joined id columns — the reference's
-    "{topic}+{partition}+{offset}" identity, DataConverter.java:156-158),
-    ``doc_id`` (int64), ``content_sha256`` (north-rule parity column),
-    ``tokens``, ``dl``. When the source already carries a numeric id
-    (``doc_id_col``, the key.ignore=false path: DataConverter.java:87-114),
-    it is used directly instead of the hashed key.
+    Analysis columns (tokens/dl) are deliberately NOT added here: they
+    multiply row width and must be computed *after* the batch is
+    repartitioned across the cluster, not below the exchange.
     """
     if doc_id_col is not None:
         df = source.withColumn("doc_key", F.col(doc_id_col).cast("string"))
@@ -249,9 +413,26 @@ def prepare_documents(
             "doc_key", F.concat_ws(DOC_KEY_SEP, *[F.col(c) for c in id_cols])
         )
         df = df.withColumn("doc_id", doc_id_expr("doc_key"))
-    df = df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
-    df = df.withColumn("tokens", tokenize(content_col))
-    return df.withColumn("dl", F.size("tokens"))
+    return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+
+
+def add_analysis(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Analysis phase (heavy): tokens + doc length."""
+    return df.withColumn("tokens", tokenize(content_col)).withColumn(
+        "dl", F.size("tokens")
+    )
+
+
+def prepare_documents(
+    source: DataFrame,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    doc_id_col: str | None = None,
+) -> DataFrame:
+    """Identity + analysis in one step (convenience for small frames)."""
+    return add_analysis(
+        prepare_identity(source, id_cols, content_col, doc_id_col), content_col
+    )
 
 
 def build_index(
@@ -286,45 +467,202 @@ def build_index(
     metrics = BuildMetrics()
     committed = store.committed_batches() if resume else {}
 
-    docs = prepare_documents(source, id_cols, content_col, doc_id_col)
+    docs = prepare_identity(source, id_cols, content_col, doc_id_col)
     docs = docs.withColumn(
         "_batch", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(config.num_segments))
     )
 
-    done = 0
-    for b in range(config.num_segments):
+    pending = [b for b in range(config.num_segments)
+               if f"b{b:04d}" not in committed]
+    metrics.batches_skipped = config.num_segments - len(pending)
+
+    def run_batch(b: int) -> SegmentMeta:
         batch_id = f"b{b:04d}"
-        if batch_id in committed:
-            metrics.batches_skipped += 1
-            continue
-        if fail_after_batches is not None and done >= fail_after_batches:
-            raise RuntimeError(f"fault injection: stopping after {done} batches")
         seg_name = f"seg_g0_{batch_id}"
         seg_meta = _build_one_segment(
-            spark, docs.filter(F.col("_batch") == b), store, seg_name, config
+            spark, docs.filter(F.col("_batch") == b), store, seg_name, config,
+            content_col=content_col,
         )
-        # manifest rename is the commit point (O4); wrapped in the reference's
-        # retry envelope (B5) for transient FS errors.
+        # manifest rename is the commit point (O4); wrapped in the
+        # reference's retry envelope (B5) for transient FS errors.
         call_with_retries(
             f"commit {batch_id}",
-            lambda sm=seg_meta, bid=batch_id: store.commit_batch(
-                bid,
-                {
-                    "batch": bid,
-                    "segments": [sm.__dict__],
-                    "replaces": [],
-                },
+            lambda: store.commit_batch(
+                batch_id,
+                {"batch": batch_id, "segments": [seg_meta.__dict__],
+                 "replaces": []},
             ),
             max_retries=config.max_retries,
             retry_backoff_ms=config.retry_backoff_ms,
         )
-        metrics.docs_indexed += seg_meta.doc_count
-        metrics.postings_written += seg_meta.n_postings
-        metrics.segments_built += 1
-        done += 1
+        return seg_meta
+
+    if fail_after_batches is not None:
+        # fault-injection path stays sequential so "fail after N commits"
+        # is deterministic (kill/resume tests)
+        for done, b in enumerate(pending):
+            if done >= fail_after_batches:
+                raise RuntimeError(
+                    f"fault injection: stopping after {done} batches"
+                )
+            _accumulate(metrics, run_batch(b))
+    elif config.build_concurrency > 1:
+        # Optional: micro-batch builds from concurrent driver threads —
+        # the connector's in-flight-bulks shape (B2, OpenSearchClient.java:
+        # 124,145-155). Off by default: one Spark job already spans the
+        # cluster, and concurrent Python-UDF stages contend for the
+        # per-executor python-worker pool (measured 2.7× slowdown at 5
+        # concurrent jobs on local[32]). Useful when segments are tiny.
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(config.build_concurrency, len(pending))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for seg_meta in pool.map(run_batch, pending):
+                _accumulate(metrics, seg_meta)
+    else:
+        for b in pending:
+            _accumulate(metrics, run_batch(b))
 
     metrics.wall_secs = time.monotonic() - t0
     return metrics
+
+
+def build_index_bulk(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    config: EngineConfig | None = None,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    doc_id_col: str | None = None,
+    tag: str = "g0",
+) -> BuildMetrics:
+    """Bulk-load mode: ALL segments in one pipeline — one scan, one doc
+    shuffle, one packed-partials shuffle, two Hive-partitioned writes.
+
+    This is the initial-load path for a 100 TB corpus: per-job fixed
+    latency is paid once instead of once per micro-batch, and the cluster
+    stays saturated end-to-end. Segments remain independent on disk
+    (``seg=<name>`` partitions), so queries and later log-structured merges
+    are identical to the micro-batched path. Durability trades batch-level
+    resume for a single atomic commit (the manifest is written once at the
+    end) — incremental ingestion keeps using :func:`build_index`.
+    """
+    from pyspark.sql import Observation
+
+    config = config or EngineConfig()
+    t0 = time.monotonic()
+    store = SegmentStore(index_dir)
+    store.create_if_absent(
+        {
+            "analyzer": "lowercase_word",
+            "k1": config.k1,
+            "b": config.b,
+            "block_size": config.block_size,
+            "num_segments": config.num_segments,
+        }
+    )
+    bulk_id = f"bulk_{tag}"
+    if bulk_id in store.committed_batches():
+        m = BuildMetrics(batches_skipped=config.num_segments)
+        m.wall_secs = time.monotonic() - t0
+        return m
+    root = store.bulk_path(tag)
+
+    docs = prepare_identity(source, id_cols, content_col, doc_id_col)
+    docs = docs.withColumn(
+        "seg",
+        F.concat(
+            F.lit(f"seg_{tag}_b"),
+            F.lpad(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(config.num_segments))
+                .cast("string"),
+                4,
+                "0",
+            ),
+        ),
+    )
+    spread = docs.repartition(config.shuffle_partitions, "doc_id")
+    analyzed = add_analysis(spread, content_col)
+
+    doc_obs = Observation(f"{bulk_id}_docs")
+    analyzed.select(*DOCS_COLUMNS, "seg").observe(
+        doc_obs, F.count(F.lit(1)).alias("n")
+    ).write.partitionBy("seg").mode("overwrite").parquet(f"{root}/docs.parquet")
+
+    partial = analyzed.select("seg", "doc_id", "dl", "tokens").mapInArrow(
+        _pack_docs_direct_by_seg, schema=f"term string, seg string, "
+        "doc_ids binary, tfs binary, dls binary"
+    )
+    l2 = partial.repartition(
+        max(2, config.shuffle_partitions), "seg", "term"
+    ).sortWithinPartitions("seg", "term")
+    post = l2.mapInPandas(
+        _make_merge_stream(None, config.block_size), schema=POSTINGS_SCHEMA
+    )
+    post_obs = Observation(f"{bulk_id}_post")
+    post.observe(
+        post_obs,
+        F.count(F.lit(1)).alias("terms"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
+    ).write.partitionBy("seg").mode("overwrite").parquet(
+        f"{root}/postings.parquet"
+    )
+
+    # per-segment stats: two small aggregations over the written files
+    dstats = {
+        r["seg"]: r
+        for r in spark.read.parquet(f"{root}/docs.parquet")
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()
+    }
+    pstats = {
+        r["seg"]: r
+        for r in spark.read.parquet(f"{root}/postings.parquet")
+        .groupBy("seg")
+        .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
+        .collect()
+    }
+    metas = []
+    for seg in sorted(dstats):
+        d, p = dstats[seg], pstats.get(seg)
+        metas.append(
+            SegmentMeta(
+                name=seg,
+                generation=0,
+                doc_count=int(d["n"]),
+                sum_dl=int(d["sdl"] or 0),
+                n_terms=int(p["terms"]) if p else 0,
+                n_postings=int(p["postings"]) if p else 0,
+                path=root,
+            )
+        )
+    call_with_retries(
+        f"commit {bulk_id}",
+        lambda: store.commit_batch(
+            bulk_id,
+            {"batch": bulk_id, "segments": [m.__dict__ for m in metas],
+             "replaces": []},
+        ),
+        max_retries=config.max_retries,
+        retry_backoff_ms=config.retry_backoff_ms,
+    )
+    metrics = BuildMetrics(
+        docs_indexed=sum(m.doc_count for m in metas),
+        postings_written=sum(m.n_postings for m in metas),
+        segments_built=len(metas),
+    )
+    metrics.details["observed_docs"] = int(doc_obs.get["n"])
+    metrics.details["observed_postings"] = int(post_obs.get["postings"])
+    metrics.wall_secs = time.monotonic() - t0
+    return metrics
+
+
+def _accumulate(metrics: BuildMetrics, seg_meta: SegmentMeta) -> None:
+    metrics.docs_indexed += seg_meta.doc_count
+    metrics.postings_written += seg_meta.n_postings
+    metrics.segments_built += 1
 
 
 def _build_one_segment(
@@ -333,47 +671,54 @@ def _build_one_segment(
     store: SegmentStore,
     seg_name: str,
     config: EngineConfig,
+    content_col: str = "content",
 ) -> SegmentMeta:
+    """``batch_df`` must carry identity columns (prepare_identity); the
+    heavy analysis columns are added here, *above* an explicit repartition:
+    a small parquet source arrives as few scan partitions
+    (maxPartitionBytes), which would otherwise serialize tokenization onto
+    a handful of cores regardless of cluster size. Hash on doc_id →
+    uniform spread, no skew."""
+    from pyspark.sql import Observation
+
     seg_path = store.segment_path(seg_name)
-    cached = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        docs_out = cached.select(*DOCS_COLUMNS)
-        docs_out.write.mode("overwrite").parquet(f"{seg_path}/docs.parquet")
-
-        doc_term = cached.select(
-            "doc_id", "dl", F.explode(term_frequencies("tokens")).alias("term", "tf")
-        )
-        post = build_segment_postings(doc_term, seg_name, config)
-        # sorted-by-term layout → parquet min/max stats prune query lookups
-        post.repartitionByRange(
-            max(2, config.shuffle_partitions // 8), "term"
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{seg_path}/postings.parquet"
-        )
-    finally:
-        cached.unpersist()
-
-    # stats from the *written* files (no recompute of the build lineage)
-    drow = (
-        spark.read.parquet(f"{seg_path}/docs.parquet")
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"))
-        .collect()[0]
+    if "tokens" in batch_df.columns:
+        batch_df = batch_df.drop("tokens", "dl")
+    spread = batch_df.repartition(config.shuffle_partitions, "doc_id")
+    analyzed = add_analysis(spread, content_col)
+    # No persist: with the regexp_extract_all analyzer, recomputing
+    # tokenization for the postings pass is cheaper than materializing a
+    # cache of token arrays (measured). Segment stats ride along on the
+    # write jobs via Observation — zero extra jobs per segment.
+    doc_obs = Observation(f"{seg_name}_docs")
+    docs_out = analyzed.select(*DOCS_COLUMNS).observe(
+        doc_obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
     )
-    prow = (
-        spark.read.parquet(f"{seg_path}/postings.parquet")
-        .agg(
-            F.count("*").alias("terms"),
-            F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
-        )
-        .collect()[0]
+    docs_out.write.mode("overwrite").parquet(f"{seg_path}/docs.parquet")
+
+    post = build_segment_postings_from_docs(analyzed, seg_name, config)
+    post_obs = Observation(f"{seg_name}_post")
+    post = post.observe(
+        post_obs,
+        F.count(F.lit(1)).alias("terms"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
     )
+    # level-2 output is already term-hash-partitioned and sorted within
+    # each partition, so files carry sorted runs (row-group min/max stats
+    # prune term lookups); a repartitionByRange here would add a sampling
+    # pass that recomputes the whole pipeline
+    post.write.mode("overwrite").parquet(f"{seg_path}/postings.parquet")
+
+    dstat, pstat = doc_obs.get, post_obs.get
     meta = SegmentMeta(
         name=seg_name,
         generation=0,
-        doc_count=int(drow["n"]),
-        sum_dl=int(drow["sdl"]),
-        n_terms=int(prow["terms"]),
-        n_postings=int(prow["postings"]),
+        doc_count=int(dstat["n"]),
+        sum_dl=int(dstat["sdl"]),
+        n_terms=int(pstat["terms"]),
+        n_postings=int(pstat["postings"]),
     )
     store.write_segmeta(meta)
     return meta

@@ -51,25 +51,30 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            terms, segs, ids, tfs, dls = [], [], [], [], []
-            for _, row in b.iterrows():
-                i, t = codec.decode_postings(row["doc_ids"], row["tfs"])
-                d = codec.varint_decode(row["dls"]).astype("int64")
-                terms.extend([row["term"]] * i.size)
-                segs.extend([row["seg"]] * i.size)
-                ids.append(i)
-                tfs.append(t)
-                dls.append(d)
-            import numpy as np
+        import numpy as np
 
+        for b in batches:
+            if not len(b):
+                continue
+            d_vals, d_row = codec.varint_decode_concat(list(b["doc_ids"]))
+            t_vals, _ = codec.varint_decode_concat(list(b["tfs"]))
+            l_vals, _ = codec.varint_decode_concat(list(b["dls"]))
+            if d_vals.size == 0:
+                continue
+            run_change = np.empty(d_row.size, dtype=bool)
+            run_change[0] = True
+            np.not_equal(d_row[1:], d_row[:-1], out=run_change[1:])
+            ids = codec.cumsum_with_resets(
+                d_vals.astype("int64"), np.nonzero(run_change)[0]
+            )
+            counts = np.bincount(d_row, minlength=len(b))
             yield pd.DataFrame(
                 {
-                    "term": terms,
-                    "_segname": segs,
-                    "doc_id": np.concatenate(ids) if ids else [],
-                    "tf": np.concatenate(tfs) if tfs else [],
-                    "dl": np.concatenate(dls) if dls else [],
+                    "term": np.repeat(b["term"].to_numpy(), counts),
+                    "_segname": np.repeat(b["seg"].to_numpy(), counts),
+                    "doc_id": ids,
+                    "tf": t_vals.astype("int64"),
+                    "dl": l_vals.astype("int64"),
                 }
             )
 
@@ -105,9 +110,9 @@ def merge_segments(
     docs_parts = []
     for m in metas:
         docs_parts.append(
-            spark.read.parquet(f"{store.segment_path(m.name)}/docs.parquet")
+            store.read_docs(spark, [m], with_seg=True)
+            .withColumnRenamed("seg", "_segname")
             .withColumn("_gen", F.lit(m.generation))
-            .withColumn("_segname", F.lit(m.name))
         )
     all_docs = docs_parts[0]
     for d in docs_parts[1:]:
@@ -137,10 +142,7 @@ def merge_segments(
             "left_anti",
         )
 
-    postings_paths = [
-        f"{store.segment_path(m.name)}/postings.parquet" for m in metas
-    ]
-    packed = spark.read.parquet(*postings_paths)
+    packed = store.read_postings(spark, metas)
     decoded = decode_postings_df(packed)
     # keep only posting entries of surviving (doc_id, winning segment) pairs
     survivors = decoded.join(
@@ -152,11 +154,8 @@ def merge_segments(
         "overwrite"
     ).parquet(f"{seg_path}/docs.parquet")
     post = build_segment_postings(survivors, seg_name, config)
-    post.repartitionByRange(
-        max(2, config.shuffle_partitions // 8), "term"
-    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-        f"{seg_path}/postings.parquet"
-    )
+    # already term-partitioned + sorted (see indexer._build_one_segment)
+    post.write.mode("overwrite").parquet(f"{seg_path}/postings.parquet")
 
     drow = (
         spark.read.parquet(f"{seg_path}/docs.parquet")

@@ -54,6 +54,71 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_grouped(
+    values: np.ndarray, group_starts: np.ndarray
+) -> list[bytes]:
+    """Encode ``values`` once, then split the byte stream per group.
+
+    ``group_starts``: sorted start indices (first must be 0). One
+    vectorized encode pass + per-group byte slicing — replaces per-group
+    encode calls in hot paths.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp != 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(bits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for i in range(int(nbytes.max())):
+        mask = nbytes > i
+        chunk = (v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
+        out[offsets[:-1][mask] + i] = chunk.astype(np.uint8) | cont
+    raw = out.tobytes()
+    byte_starts = offsets[group_starts]
+    byte_ends = np.append(byte_starts[1:], offsets[-1])
+    return [raw[int(s):int(e)] for s, e in zip(byte_starts, byte_ends, strict=True)]
+
+
+def varint_decode_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a sequence of varint buffers in ONE vectorized pass.
+
+    Returns ``(values, row_of_value)`` where ``row_of_value[i]`` is the
+    index of the buffer value ``i`` came from. Replaces per-row decode
+    calls in merge/pack hot paths.
+    """
+    lens = np.fromiter((len(b) for b in buffers), dtype=np.int64,
+                       count=len(buffers))
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    all_bytes = b"".join(buffers)
+    values = varint_decode(all_bytes)
+    b = np.frombuffer(all_bytes, dtype=np.uint8)
+    term_byte_pos = np.nonzero((b & 0x80) == 0)[0]  # last byte of each value
+    byte_row_edges = np.cumsum(lens)  # exclusive end offsets per row
+    row_of_value = np.searchsorted(byte_row_edges, term_byte_pos, side="right")
+    return values, row_of_value
+
+
+def cumsum_with_resets(deltas: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """cumsum(deltas) restarting at each index in ``run_starts`` (first=0)."""
+    out = np.cumsum(deltas.astype(np.int64))
+    if run_starts.size <= 1:
+        return out
+    run_lens = np.diff(np.append(run_starts, deltas.size))
+    bases = np.zeros(run_starts.size, dtype=np.int64)
+    bases[1:] = out[run_starts[1:] - 1]
+    return out - np.repeat(bases, run_lens)
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array, vectorized."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -43,6 +43,10 @@ class SegmentMeta:
     sum_dl: int
     n_terms: int
     n_postings: int
+    # "" → classic layout (segments/<name>/{docs,postings}.parquet);
+    # otherwise the root of a Hive-partitioned bulk build whose
+    # {docs,postings}.parquet dirs contain seg=<name> partitions.
+    path: str = ""
 
 
 @dataclass
@@ -120,10 +124,71 @@ class SegmentStore:
     def segment_path(self, name: str) -> str:
         return os.path.join(self.segments_dir, name)
 
+    def bulk_path(self, tag: str) -> str:
+        return os.path.join(self.index_dir, f"bulk_{tag}")
+
     def write_segmeta(self, meta: SegmentMeta) -> None:
         self._atomic_write_json(
             os.path.join(self.segment_path(meta.name), "segmeta.json"), asdict(meta)
         )
+
+    # -- unified readers over classic + bulk segment layouts
+    def read_postings(self, spark, metas: list[SegmentMeta] | None = None):
+        """Union postings of the given (default: active) segments. Classic
+        segments store ``seg`` in-file; bulk segments get it from Hive
+        partition discovery — one read per bulk root, pruned by seg."""
+        from pyspark.sql import functions as F
+
+        metas = self.active_segments() if metas is None else metas
+        dfs = []
+        classic = [m for m in metas if not m.path]
+        if classic:
+            dfs.append(
+                spark.read.parquet(
+                    *[f"{self.segment_path(m.name)}/postings.parquet"
+                      for m in classic]
+                )
+            )
+        roots: dict[str, list[str]] = {}
+        for m in metas:
+            if m.path:
+                roots.setdefault(m.path, []).append(m.name)
+        for root, names in roots.items():
+            dfs.append(
+                spark.read.parquet(f"{root}/postings.parquet").filter(
+                    F.col("seg").isin(names)
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_docs(self, spark, metas: list[SegmentMeta] | None = None,
+                  with_seg: bool = False):
+        """Union docs tables; optionally tagging each row's segment name
+        (classic docs files don't store it — it is stamped per segment)."""
+        from pyspark.sql import functions as F
+
+        metas = self.active_segments() if metas is None else metas
+        dfs = []
+        for m in metas:
+            if m.path:
+                d = spark.read.parquet(f"{m.path}/docs.parquet").filter(
+                    F.col("seg") == m.name
+                )
+                d = d if with_seg else d.drop("seg")
+            else:
+                d = spark.read.parquet(
+                    f"{self.segment_path(m.name)}/docs.parquet"
+                )
+                if with_seg:
+                    d = d.withColumn("seg", F.lit(m.name))
+            dfs.append(d)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def global_stats(self) -> tuple[int, float]:
         """(N docs, avgdl) across active segments — driver-side, O(#segments)."""

@@ -17,7 +17,7 @@ from pyspark.sql.streaming import StreamingQuery
 from kafka_connect_opensearch_spark.config import EngineConfig
 from kafka_connect_opensearch_spark.operators.indexer import (
     _build_one_segment,
-    prepare_documents,
+    prepare_identity,
 )
 from kafka_connect_opensearch_spark.operators.segments import SegmentStore
 
@@ -56,9 +56,11 @@ def start_streaming_index_build(
             return
         if batch_df.isEmpty():
             return
-        docs = prepare_documents(batch_df, id_cols, content_col)
+        docs = prepare_identity(batch_df, id_cols, content_col)
         seg_name = f"seg_s_{bid}"
-        meta = _build_one_segment(spark, docs, store, seg_name, config)
+        meta = _build_one_segment(
+            spark, docs, store, seg_name, config, content_col=content_col
+        )
         store.commit_batch(
             bid, {"batch": bid, "segments": [meta.__dict__], "replaces": []}
         )

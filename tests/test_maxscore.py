@@ -1,0 +1,71 @@
+"""MaxScore/block-max pruning unit tests (pure numpy — no Spark).
+
+The pruning contract: candidates must be a SUPERSET of the true top-k under
+full scoring, for any posting-list mix (the engine rescores candidates
+exactly, so correctness == candidate completeness)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kafka_connect_opensearch_spark.operators.bm25 import (
+    _exact_scores,
+    _maxscore_candidates,
+    bm25_idf,
+)
+
+K1, B = 1.2, 0.75
+
+
+def _mk_decoded(rng, n_terms=4, n_docs=5000, stopword_df=4000, rare_df=30):
+    """Synthetic segment: mix of stopword-like and rare posting lists."""
+    decoded = {}
+    weights = {}
+    universe = np.arange(n_docs, dtype=np.int64)
+    dls = rng.integers(50, 2000, size=n_docs).astype(np.int64)
+    for i in range(n_terms):
+        df = stopword_df if i % 2 == 0 else rare_df
+        ids = np.sort(rng.choice(universe, size=df, replace=False))
+        tfs = rng.integers(1, 30 if i % 2 == 0 else 5, size=df).astype(np.int64)
+        bmax = np.array(
+            [tfs[j : j + 128].max() for j in range(0, df, 128)], dtype=np.int64
+        )
+        decoded[f"t{i}"] = (ids, tfs, dls[ids], bmax)
+        weights[f"t{i}"] = bm25_idf(n_docs, df)
+    return decoded, weights
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 99])
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_candidates_superset_of_topk(seed, k):
+    rng = np.random.default_rng(seed)
+    decoded, weights = _mk_decoded(rng)
+    avgdl = 1000.0
+    # full scoring over the union of all docs
+    union = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+    full = _exact_scores(union, decoded, weights, avgdl, K1, B)
+    order = np.lexsort((union, -full))[:k]
+    true_topk = set(union[order].tolist())
+    cand = _maxscore_candidates(decoded, weights, avgdl, K1, B, k, 128)
+    assert true_topk <= set(cand.tolist())
+    # pruning must actually prune in the skewed case (stopword lists big)
+    if k <= 10:
+        assert cand.size <= union.size
+
+
+def test_single_term_returns_whole_list():
+    rng = np.random.default_rng(0)
+    decoded, weights = _mk_decoded(rng, n_terms=1)
+    cand = _maxscore_candidates(decoded, weights, 1000.0, K1, B, 10, 128)
+    assert np.array_equal(cand, decoded["t0"][0])
+
+
+def test_exact_scores_sorted_term_order_deterministic():
+    rng = np.random.default_rng(3)
+    decoded, weights = _mk_decoded(rng, n_terms=3, n_docs=500,
+                                   stopword_df=400, rare_df=20)
+    docs = decoded["t0"][0][:50]
+    a = _exact_scores(docs, decoded, weights, 800.0, K1, B)
+    b = _exact_scores(docs, decoded, weights, 800.0, K1, B)
+    assert np.array_equal(a, b)  # bit-identical reruns
