@@ -377,6 +377,23 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timestamp_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 data-stream @timestamp injection: first non-null candidate field,
+    else the batch timestamp (DataConverter.java:202-223)."""
+    from kafka_connect_opensearch_spark.operators.convert import add_timestamp
+
+    ev = _read(spark, sf_dir, "events")
+    # synthesize a sparse event-time field: every 3rd record lacks it
+    ev = ev.withColumn(
+        "evt_ts", F.when(F.col("event_id") % 3 != 0, F.col("ts"))
+    ).withColumn("fallback_ts", F.date_trunc("day", F.col("ts")))
+    out = add_timestamp(ev, ("evt_ts", "fallback_ts"))
+    return out.select(
+        "event_id",
+        F.date_format("@timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts_out"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, 32)
     feats = multimodal.extract_image_features(media)
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "window_topn": q_window_topn,
         "events_hourly": q_events_hourly,
+        "timestamp_injection": q_timestamp_injection,
         "media_feature_stats": q_media_features,
     }
 
@@ -653,6 +671,13 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn FROM (
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+""",
+        "timestamp_injection": """
+SELECT event_id,
+       strftime(coalesce(CASE WHEN event_id % 3 <> 0 THEN ts END,
+                         date_trunc('day', ts)),
+                '%Y-%m-%d %H:%M:%S') AS ts_out
+FROM events
 """,
     }
 

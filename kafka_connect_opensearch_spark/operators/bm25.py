@@ -112,10 +112,22 @@ class IndexReader:
         return {t: n for t, n in out.items() if n > 0}
 
     def search(
-        self, query: str, k: int = 10, mode: str = "or"
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        local_threshold: int = 2_000_000,
     ) -> DataFrame:
         """Top-k ``(doc_id, score)`` for ``query``; deterministic tie-break
-        on doc_id (rank-identical requirement)."""
+        on doc_id (rank-identical requirement).
+
+        Adaptive execution: when the query terms' total postings fit under
+        ``local_threshold``, the coordinator scores them directly from a
+        pyarrow scan (the scatter-gather path every search engine's
+        frontend takes — tens of ms, no Spark job). Heavier queries run
+        the distributed per-segment scorer. Both paths share the same
+        numpy scoring functions, so results are bit-identical.
+        """
         if mode not in ("or", "and"):
             raise ValueError("mode must be 'or' or 'and'")
         qterms = sorted(Counter(tokenize_py(query)).items())  # [(term, qtf)]
@@ -135,12 +147,65 @@ class IndexReader:
         scorer = _make_segment_scorer(
             weights, avgdl, self.k1, self.b, k, mode, self.block_size
         )
+        total_postings = sum(dfs.values())
+        if total_postings <= local_threshold:
+            rows = self._local_topk(
+                [t for t, _ in qterms], scorer, k
+            )
+            if not rows:
+                return empty
+            return self.spark.createDataFrame(
+                rows, "doc_id long, score double"
+            )
         local_topk = (
             self.postings([t for t, _ in qterms])
             .groupBy("seg")
             .applyInPandas(scorer, schema="doc_id long, score double")
         )
         return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _local_topk(self, terms: list[str], scorer, k: int):
+        """Coordinator-side scatter-gather: pyarrow-filtered postings scan
+        → per-segment numpy scoring (same function as the distributed
+        path) → global top-k merge."""
+        import pyarrow.dataset as pads
+
+        scans = []
+        bulk: dict[str, list[str]] = {}
+        for s in self._segments:
+            if s.path:
+                bulk.setdefault(s.path, []).append(s.name)
+            else:
+                scans.append(
+                    (f"{self.store.segment_path(s.name)}/postings.parquet",
+                     None)
+                )
+        scans += [
+            (f"{root}/postings.parquet", names) for root, names in bulk.items()
+        ]
+        parts = []
+        for p, names in scans:
+            dset = pads.dataset(p, format="parquet", partitioning="hive")
+            flt = pads.field("term").isin(terms)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(filter=flt)
+            if tbl.num_rows:
+                parts.append(tbl.to_pandas())
+        if not parts:
+            return []
+        allrows = pd.concat(parts, ignore_index=True)
+        outs = [scorer(g) for _, g in allrows.groupby("seg", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return []
+        merged = pd.concat(outs, ignore_index=True)
+        ids = merged["doc_id"].to_numpy()
+        scores = merged["score"].to_numpy()
+        order = np.lexsort((ids, -scores))[:k]
+        return [
+            (int(ids[i]), float(scores[i])) for i in order
+        ]
 
     def match_count(self, query: str, mode: str = "or") -> int:
         """Number of matching docs (D7) without scoring."""

@@ -1,29 +1,36 @@
-"""Inverted-index build: micro-batched, salted, resumable (SURVEY.md D2-D4).
+"""Inverted-index build: salted, resumable, explode-free (SURVEY.md D2-D4).
 
-Pipeline per micro-batch (one batch → one immutable segment, mirroring the
-connector's bulk-flush unit, OpenSearchClient.java:145-155):
+Two build modes share one pipeline shape:
 
-  source batch
-    → tokenize (JVM built-ins, whole-stage codegen)
-    → explode + shuffle-free hash aggregate (the batch is doc_id-partitioned,
-      so tf-per-(doc,term) needs no exchange: one row per distinct (doc,
-      term) leaves the stage, not one per occurrence)
-    → groupBy(term, salt(doc_id)) applyInPandas  — level-1 salted pack
-    → groupBy(term)              applyInPandas  — level-2 merge + block-max
-    → parquet segment, range-partitioned + sorted by term (row-group min/max
-      stats on `term` give query-time predicate pushdown / rowgroup skip)
+- :func:`build_index` — micro-batched (one batch → one immutable segment,
+  mirroring the connector's bulk-flush unit, OpenSearchClient.java:145-155);
+  resumable per batch via the manifest.
+- :func:`build_index_bulk` — ALL segments in one pipeline (initial-load
+  path): one scan, one doc shuffle, one packed-partials shuffle, Hive
+  ``seg=<name>``-partitioned writes, single atomic commit.
 
-The two-level salted aggregation bounds the largest shuffle group: stopword
-terms like ``return`` would otherwise concentrate a whole corpus' postings
-in single reducers (the north rule calls this skew out explicitly). AQE skew
-handling only splits *join* partitions, not aggregation groups, so the salt
-is explicit (SURVEY.md §4.2).
+Pipeline:
 
-Scale notes (100 TB / 10^12 docs): the driver loop is over micro-batches
-(default 8 here; thousands at scale), each a full cluster-wide job bounded
-by ``batch_rows``; the per-batch cache is bounded the same way the
-reference bounds its buffer (max.buffered.records, B3). Nothing is ever
-collected to the driver except per-segment counters.
+  source
+    → identity (doc_key/doc_id/sha256 — cheap JVM exprs)
+    → repartition by hash(doc_id)       — spreads work AND is the stopword
+      salt: a hot term's postings split across all partitions, so no
+      level-1 worker sees more than a partition's worth (AQE can't split
+      aggregation groups; the spread is explicit, SURVEY.md §4.2)
+    → tokenize (regexp_extract_all, whole-stage codegen)
+    → level-1 pack (mapInArrow): pyarrow dictionary_encode counts terms —
+      NO explode, no Python string objects; emits delta+varint packed
+      partial posting lists, one row per (term, partition)
+    → shuffle packed partials by term (~20× fewer bytes than raw rows)
+    → level-2 merge (sorted-run mapInPandas): concat-decode, reset-cumsum,
+      re-encode + per-block max_tf; output stays term-sorted per file so
+      parquet row-group min/max stats prune query-time term lookups
+
+Scale notes (100 TB / 10^12 docs): per-term level-2 group size is bounded
+by the segment's doc count (the same bound Lucene accepts per segment);
+nothing is ever collected to the driver except per-segment counters.
+Local-mode JVMs should run -XX:+UseParallelGC — G1 concurrent marking
+throttles these allocation-heavy stages at high thread counts.
 """
 
 from __future__ import annotations

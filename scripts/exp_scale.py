@@ -30,12 +30,40 @@ def main() -> None:
     segs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     shuffle = int(sys.argv[4]) if len(sys.argv) > 4 else cpus
 
+    # EXP_EXECUTORS=N → local-cluster[N,4,8192]: N separate executor JVMs
+    # with 4 cores each — the faithful stand-in for "N executors" (separate
+    # heaps; cpus arg is then interpreted as N*4 total cores and must match)
+    # EXP_CLUSTER="E,C" → local-cluster[E,C,8192]: E separate executor JVMs
+    # with C cores each — the faithful stand-in for "E executors"
+    # (EXP_EXECUTORS=N is shorthand for N,4)
+    cluster = os.environ.get("EXP_CLUSTER")
+    if not cluster and os.environ.get("EXP_EXECUTORS"):
+        cluster = f"{os.environ['EXP_EXECUTORS']},4"
+    executors = cluster
+    builder = SparkSession.builder
+    if cluster:
+        n_exec, n_cores = (int(x) for x in cluster.split(","))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.master(f"local-cluster[{n_exec},{n_cores},8192]")
+            .config("spark.executor.memory", "7g")
+            # the spark-submit --py-files analog: ship the package to
+            # executor python workers
+            .config("spark.executorEnv.PYTHONPATH", repo)
+        )
+    else:
+        builder = builder.master(f"local[{cpus}]")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "64g")
+        .config("spark.driver.memory", "8g" if executors else "48g")
+        # G1's concurrent marking throttles this allocation-heavy pipeline
+        # at high thread counts (measured 2.5× slower than ParallelGC at
+        # local[32]); throughput GC is the right choice for batch builds
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

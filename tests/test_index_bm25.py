@@ -106,7 +106,8 @@ def test_doc_count(spark, index_dir):
 def test_bm25_rank_identical(spark, index_dir, corpus_pdf, query, mode):
     """Top-10 (doc_id, score) must be rank-identical to the brute-force
     oracle — including bit-identical float64 scores (same accumulation
-    order; SURVEY.md §7.4)."""
+    order; SURVEY.md §7.4). Both execution paths (coordinator-local
+    scatter-gather and distributed per-segment scoring) must agree."""
     reader = IndexReader(spark, index_dir)
     got = reader.search(query, k=10, mode=mode).toPandas()
     want = brute_force_bm25(
@@ -115,6 +116,12 @@ def test_bm25_rank_identical(spark, index_dir, corpus_pdf, query, mode):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     np.testing.assert_array_equal(
         got["score"].to_numpy(), want["score"].to_numpy()
+    )
+    # distributed path (local_threshold=0 forces the Spark scorer)
+    dist = reader.search(query, k=10, mode=mode, local_threshold=0).toPandas()
+    assert dist["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        dist["score"].to_numpy(), want["score"].to_numpy()
     )
 
 
