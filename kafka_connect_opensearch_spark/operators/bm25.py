@@ -60,6 +60,44 @@ class IndexReader:
         self.b = float(meta["b"])
         self.block_size = int(meta.get("block_size", 128))
         self._segments = self.store.active_segments()
+        self._stats = self.store.global_stats()
+        self._datasets = None  # lazy pyarrow dataset handles
+
+    def refresh(self) -> None:
+        """Re-read the manifest (after new commits/merges)."""
+        self._segments = self.store.active_segments()
+        self._stats = self.store.global_stats()
+        self._datasets = None
+
+    def _postings_datasets(self):
+        """Cached pyarrow datasets for the coordinator paths — dataset
+        discovery (file listing, Hive partition inference) costs hundreds
+        of ms on a many-file index and must not be paid per query."""
+        if self._datasets is None:
+            import pyarrow.dataset as pads
+
+            scans = []
+            bulk: dict[str, list[str]] = {}
+            for s in self._segments:
+                if s.path:
+                    bulk.setdefault(s.path, []).append(s.name)
+                else:
+                    scans.append(
+                        (
+                            f"{self.store.segment_path(s.name)}"
+                            "/postings.parquet",
+                            None,
+                        )
+                    )
+            scans += [
+                (f"{root}/postings.parquet", names)
+                for root, names in bulk.items()
+            ]
+            self._datasets = [
+                (pads.dataset(p, format="parquet", partitioning="hive"), names)
+                for p, names in scans
+            ]
+        return self._datasets
 
     # D7: _count parity (OpenSearchHelperClient.java:85-88)
     def doc_count(self) -> int:
@@ -85,22 +123,8 @@ class IndexReader:
         """
         import pyarrow.dataset as pads
 
-        scans = []  # (path, optional seg-name filter)
-        bulk: dict[str, list[str]] = {}
-        for s in self._segments:
-            if s.path:
-                bulk.setdefault(s.path, []).append(s.name)
-            else:
-                scans.append(
-                    (f"{self.store.segment_path(s.name)}/postings.parquet",
-                     None)
-                )
-        scans += [
-            (f"{root}/postings.parquet", names) for root, names in bulk.items()
-        ]
         out: dict[str, int] = dict.fromkeys(terms, 0)
-        for p, names in scans:
-            dset = pads.dataset(p, format="parquet", partitioning="hive")
+        for dset, names in self._postings_datasets():
             flt = pads.field("term").isin(terms)
             if names is not None:
                 flt = flt & pads.field("seg").isin(names)
@@ -131,7 +155,7 @@ class IndexReader:
         if mode not in ("or", "and"):
             raise ValueError("mode must be 'or' or 'and'")
         qterms = sorted(Counter(tokenize_py(query)).items())  # [(term, qtf)]
-        n_docs, avgdl = self.store.global_stats()
+        n_docs, avgdl = self._stats
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not qterms or n_docs == 0:
             return empty
@@ -164,28 +188,39 @@ class IndexReader:
         )
         return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_topk(
+        self, query: str, k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """Native search API: top-k ``(doc_id, score)`` as plain Python —
+        the engine-latency path (no Spark job, no DataFrame round-trip).
+        Always coordinator-local; results are bit-identical to
+        :meth:`search` (same scoring functions)."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        qterms = sorted(Counter(tokenize_py(query)).items())
+        n_docs, avgdl = self._stats
+        if not qterms or n_docs == 0:
+            return []
+        dfs = self.term_stats([t for t, _ in qterms])
+        if mode == "and" and any(t not in dfs for t, _ in qterms):
+            return []
+        qterms = [(t, q) for t, q in qterms if t in dfs]
+        if not qterms:
+            return []
+        weights = {t: qtf * bm25_idf(n_docs, dfs[t]) for t, qtf in qterms}
+        scorer = _make_segment_scorer(
+            weights, avgdl, self.k1, self.b, k, mode, self.block_size
+        )
+        return self._local_topk([t for t, _ in qterms], scorer, k)
+
     def _local_topk(self, terms: list[str], scorer, k: int):
         """Coordinator-side scatter-gather: pyarrow-filtered postings scan
         → per-segment numpy scoring (same function as the distributed
         path) → global top-k merge."""
         import pyarrow.dataset as pads
 
-        scans = []
-        bulk: dict[str, list[str]] = {}
-        for s in self._segments:
-            if s.path:
-                bulk.setdefault(s.path, []).append(s.name)
-            else:
-                scans.append(
-                    (f"{self.store.segment_path(s.name)}/postings.parquet",
-                     None)
-                )
-        scans += [
-            (f"{root}/postings.parquet", names) for root, names in bulk.items()
-        ]
         parts = []
-        for p, names in scans:
-            dset = pads.dataset(p, format="parquet", partitioning="hive")
+        for dset, names in self._postings_datasets():
             flt = pads.field("term").isin(terms)
             if names is not None:
                 flt = flt & pads.field("seg").isin(names)
