@@ -230,11 +230,14 @@ def q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tombstone_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/P7/E1-E3: null-value tombstones routed per policy (DELETE) with
-    counts per route — 'error' events become tombstones."""
+    counts per route — 'error' events become tombstones. One aggregation
+    job over a route-tagged frame (not three count() actions), left-joined
+    onto the constant route set so all three routes always appear."""
     from kafka_connect_opensearch_spark.config import (
         BehaviorOnMalformedDoc,
         BehaviorOnNullValues,
     )
+    from kafka_connect_opensearch_spark.operators.convert import route_records
 
     ev = _read(spark, sf_dir, "events").withColumn(
         "payload",
@@ -244,15 +247,17 @@ def q_tombstone_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         behavior_on_null_values=BehaviorOnNullValues.DELETE,
         behavior_on_malformed_docs=BehaviorOnMalformedDoc.IGNORE,
     )
-    batch = convert_records(
-        ev, id_cols=("event_id",), content_col="payload", config=cfg
+    routed = route_records(ev, id_cols=("event_id",), content_col="payload",
+                           config=cfg)
+    counts = routed.groupBy("route").agg(F.count("*").alias("n"))
+    all_routes = spark.createDataFrame(
+        [("delete",), ("dlq",), ("index",)], "route string"
     )
-    rows = [
-        ("delete", batch.deletes.count()),
-        ("dlq", batch.dlq.count()),
-        ("index", batch.documents.count()),
-    ]
-    return spark.createDataFrame(rows, "route string, n long")
+    return (
+        all_routes.join(counts, "route", "left")
+        .select("route", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .orderBy("route")
+    )
 
 
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,11 +612,15 @@ SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
 ) WHERE rn = 1
 """,
         "tombstone_routing": """
-SELECT route, count(*)::BIGINT AS n FROM (
-  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'index' END AS route
-  FROM events
-) GROUP BY route
-UNION ALL SELECT 'dlq' AS route, 0::BIGINT AS n
+SELECT r.route, coalesce(c.n, 0)::BIGINT AS n
+FROM (VALUES ('delete'), ('dlq'), ('index')) r(route)
+LEFT JOIN (
+  SELECT CASE WHEN event_id IS NULL THEN 'dlq'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'index' END AS route, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+) c ON r.route = c.route
+ORDER BY r.route
 """,
         "upsert_merge": """
 WITH existing AS (

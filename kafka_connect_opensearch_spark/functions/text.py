@@ -57,8 +57,22 @@ def convert_topic_to_index_name_sql(topic_sql: str) -> str:
 def convert_topic_to_data_stream_name(
     topic: Column | str, ds_type: str, dataset: str
 ) -> Column:
-    """OpenSearchSinkTask.java:231-243: ``{type}-{dataset}-{topic}``, ≤100, lower."""
+    """OpenSearchSinkTask.java:231-243: lowercase the topic, truncate *the
+    topic* to 100 chars, THEN prefix ``{type}-{dataset}-`` (the reference
+    never truncates the concatenated result; type is lowercased, dataset is
+    validated lowercase at config time)."""
     t = F.col(topic) if isinstance(topic, str) else topic
-    return F.substring(
-        F.lower(F.concat_ws("-", F.lit(ds_type), F.lit(dataset), t)), 1, 100
+    truncated = F.substring(F.lower(t), 1, 100)
+    return F.concat_ws(
+        "-", F.lit(ds_type.lower()), F.lit(dataset), truncated
+    )
+
+
+def convert_topic_to_data_stream_name_sql(
+    topic_sql: str, ds_type: str, dataset: str
+) -> str:
+    """DuckDB/ANSI twin of :func:`convert_topic_to_data_stream_name`."""
+    return (
+        f"('{ds_type.lower()}' || '-' || '{dataset}' || '-' || "
+        f"substring(lower({topic_sql}), 1, 100))"
     )

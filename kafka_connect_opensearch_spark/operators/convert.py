@@ -124,6 +124,35 @@ def convert_records(
     return ConvertedBatch(documents=docs, deletes=deletes, dlq=dlq)
 
 
+def route_records(
+    df: DataFrame,
+    id_cols: tuple[str, ...],
+    content_col: str,
+    config: EngineConfig | None = None,
+) -> DataFrame:
+    """Single-pass route tag per record: ``dlq`` (malformed), ``delete``
+    (tombstone under DELETE policy), ``drop`` (tombstone under IGNORE), or
+    ``index``. Same conditions as :func:`convert_records`, but one frame —
+    route counts become ONE aggregation job instead of three ``count()``
+    actions recomputing the source scan."""
+    config = config or EngineConfig()
+    malformed_cond = F.lit(False)
+    for c in id_cols:
+        malformed_cond = malformed_cond | F.col(c).isNull()
+    tombstone_cond = F.col(content_col).isNull()
+    tombstone_route = (
+        "delete"
+        if config.behavior_on_null_values == BehaviorOnNullValues.DELETE
+        else "drop"
+    )
+    return df.withColumn(
+        "route",
+        F.when(malformed_cond, F.lit("dlq"))
+        .when(tombstone_cond, F.lit(tombstone_route))
+        .otherwise(F.lit("index")),
+    )
+
+
 def latest_wins(df: DataFrame, key_col: str, version_col: str) -> DataFrame:
     """max_by(all columns, version) per key — external-versioning semantics
     (W1/W4). One shuffle on the key; ties broken by highest version only

@@ -48,9 +48,17 @@ def exact_dedup(
 
 
 def token_shingles(tokens: Column, n: int = 3) -> Column:
-    """n-token shingles as strings; empty array when doc has < n tokens."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    """n-token shingles as strings; empty array when doc has < n tokens.
+
+    The short-doc branch must be an explicit ``when``: ``sequence(1, 0)``
+    is the DESCENDING array [1, 0] in Spark (not empty), and slice(..., 0, n)
+    then throws INVALID_PARAMETER_VALUE.START. The guard also matches the
+    DuckDB oracle, where ``range(1, len-1)`` is empty for short docs."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    shingled = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(F.size(tokens) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def with_shingles(

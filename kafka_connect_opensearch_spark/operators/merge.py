@@ -22,6 +22,7 @@ exactly the reference's retry-safe bulk semantics (B5).
 from __future__ import annotations
 
 import time
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -105,7 +106,10 @@ def merge_segments(
         return BuildMetrics()
     metas = [segs[n] for n in names]
     new_gen = max(m.generation for m in metas) + 1
-    seg_name = f"seg_g{new_gen}_m{int(time.time())}"
+    # uuid suffix: epoch seconds alone collide when two same-generation
+    # merges land within one second (back-to-back ingest() calls with
+    # deletes), silently overwriting a segment directory
+    seg_name = f"seg_g{new_gen}_m{int(time.time())}_{uuid.uuid4().hex[:8]}"
 
     docs_parts = []
     for m in metas:

@@ -25,11 +25,13 @@ def windowed_counts(
     window_duration: str = "1 minute",
     slide: str | None = None,
     watermark_delay: str = "2 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling (or sliding) event-time counts with a watermark.
 
     Works on both streaming and batch frames (batch ignores the
-    watermark — useful for oracle comparisons)."""
+    watermark — useful for oracle comparisons). ``value_col`` names the
+    summed column; pass ``None`` (or a frame without it) for counts only."""
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark_delay)
@@ -38,17 +40,19 @@ def windowed_counts(
         if slide
         else F.window(F.col(ts_col), window_duration)
     )
-    return (
-        df.groupBy(win.alias("win"), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            key_col,
-            "n",
-            F.round("total_value", 4).alias("total_value"),
-        )
-    )
+    sum_value = value_col is not None and value_col in df.columns
+    aggs = [F.count("*").alias("n")]
+    if sum_value:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    out_cols = [
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        key_col,
+        "n",
+    ]
+    if sum_value:
+        out_cols.append(F.round("total_value", 4).alias("total_value"))
+    return df.groupBy(win.alias("win"), F.col(key_col)).agg(*aggs).select(*out_cols)
 
 
 def run_windowed_stream(

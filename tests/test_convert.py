@@ -174,3 +174,15 @@ def test_topic_to_data_stream_name(spark):
         convert_topic_to_data_stream_name("topic", "LOGS", "ds")
     ).collect()[0][0]
     assert got == "logs-ds-mytopic"
+
+
+def test_topic_to_data_stream_name_truncates_topic_before_prefix(spark):
+    # OpenSearchSinkTask.java:231-243: only the TOPIC is cut to 100 chars,
+    # before prefixing — the concatenated name is never truncated
+    long_topic = "T" * 150
+    df = spark.createDataFrame([(long_topic,)], "topic string")
+    got = df.select(
+        convert_topic_to_data_stream_name("topic", "logs", "dataset")
+    ).collect()[0][0]
+    assert got == "logs-dataset-" + "t" * 100
+    assert len(got) == len("logs-dataset-") + 100

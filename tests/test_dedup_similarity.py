@@ -49,6 +49,30 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (1, 3) not in out
 
 
+def test_short_docs_survive_shingling(spark):
+    """Docs with < n tokens must yield empty shingle arrays, not throw
+    (sequence(1,0) is [1,0] in Spark — the descending-array trap)."""
+    rows = [
+        (1, ""),                 # zero tokens
+        (2, "one"),              # 1 token
+        (3, "one two"),          # 2 tokens (< n=3)
+        (4, "one two three"),    # exactly n
+        (5, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["id"]: r["shingles"]
+          for r in dedup.with_shingles(df, "text", "doc_id", n=3).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["one two three"]
+    assert len(sh[5]) == 2
+    # the full pipelines must not throw on short docs, and short docs
+    # (empty shingle sets) can never pair with anything
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                      threshold=0.1).collect()
+    assert all(r["id_a"] >= 4 and r["id_b"] >= 4 for r in pairs)
+    dedup.minhash_lsh_dedup(df, "text", "doc_id", threshold=0.1).collect()
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in dedup.minhash_lsh_dedup(
