@@ -11,10 +11,13 @@ algorithm, not a lookalike. BM25 oracles recompute the full scoring
 pipeline in SQL (tokenize → tf → df → idf → fold) with the identical
 analyzer regex.
 
-Queries without an oracle entry (driver rows-only check): ``ann_lsh_topk``
-(sign-LSH bucket membership depends on FP sign of dot products — not safely
-portable across engines), ``media_feature_stats`` (binary payloads can't be
-synthesized in SQL).
+Every query has a DuckDB oracle. The two formerly-unverifiable paths are
+now exact: ``ann_lsh_topk`` uses integer-deterministic sign-LSH (md5-derived
+integer planes over floor(x*1000)-quantized vectors — bucket membership is
+integer arithmetic, reproducible in any engine) against a materialized
+bucket-partitioned table; ``media_feature_stats`` / ``media_frame_sample``
+persist the synthetic media table to parquet and the oracle recomputes the
+sha256-derived stub features from the same bytes.
 """
 
 from __future__ import annotations
@@ -204,11 +207,29 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(corpus, probes, k=3)
 
 
+ANN_PLANES = 8
+ANN_RADIUS = 2
+ANN_DIM = 64
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k the scale-shaped way: the corpus is materialized ONCE
+    partitioned by integer-deterministic LSH bucket; the probe reads only
+    the ``bucket IN (probes)`` partitions (partition pruning), then exact
+    cosine re-rank. Bucket membership is exact integer math, so the DuckDB
+    oracle reproduces the same candidate set bit-identically."""
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_bucketed_topk(
-        emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=10, probe_radius=1
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    table_dir = os.path.join(_INDEX_ROOT, f"ann_{tag}_p{ANN_PLANES}")
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        similarity.materialize_lsh_buckets(
+            emb.filter(F.col("vec_id") > 0), table_dir,
+            dim=ANN_DIM, n_planes=ANN_PLANES,
+        )
+    return similarity.lsh_table_topk(
+        spark, table_dir, qvec, k=10,
+        n_planes=ANN_PLANES, probe_radius=ANN_RADIUS,
     )
 
 
@@ -399,8 +420,22 @@ def q_timestamp_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_FIXTURE = os.path.join(_INDEX_ROOT, "media_fixture.parquet")
+
+
+def _media_table(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic media table, persisted to parquet so the
+    DuckDB oracle reads the SAME bytes the engine reads (the binary
+    round-trip through parquet is part of what's verified)."""
+    if not os.path.exists(os.path.join(_MEDIA_FIXTURE, "_SUCCESS")):
+        multimodal.synth_media(spark, 32).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_MEDIA_FIXTURE)
+    return spark.read.parquet(_MEDIA_FIXTURE)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.synth_media(spark, 32)
+    media = _media_table(spark)
     feats = multimodal.extract_image_features(media)
     return (
         feats.join(media.select("media_id", "kind"), "media_id")
@@ -413,6 +448,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(_media_table(spark), every_ms=1000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -446,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "timestamp_injection": q_timestamp_injection,
         "media_feature_stats": q_media_features,
+        "media_frame_sample": q_media_frames,
     }
 
 
@@ -576,6 +616,9 @@ FROM sh a JOIN sh b ON a.id < b.id
 WHERE {_jaccard_expr("a.shingles", "b.shingles")} >= {JACCARD_THRESHOLD}
 """,
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "media_feature_stats": _media_features_sql(),
+        "media_frame_sample": _media_frames_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "cosine_topk": f"""
 SELECT vec_id, cosine FROM (
@@ -777,6 +820,82 @@ SELECT c.id_a, c.id_b,
        {_jaccard_expr("sa.shingles", "sb.shingles")} AS jaccard
 FROM cands c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
 WHERE {_jaccard_expr("sa.shingles", "sb.shingles")} >= {JACCARD_THRESHOLD}
+"""
+
+
+def _media_sql_cte() -> str:
+    return (
+        f"m AS (SELECT media_id, kind, payload, duration_ms "
+        f"FROM read_parquet('{_MEDIA_FIXTURE}/*.parquet'))"
+    )
+
+
+def _media_features_sql() -> str:
+    """Recomputes the stub feature pipeline independently: sha256 over the
+    payload bytes (ASCII in the fixture, so decode() is lossless), first 16
+    bytes extracted from the hex digest, scaled by 1/256 (exact dyadic —
+    float32 and DOUBLE agree bit-for-bit), summed per row then per kind."""
+    dim = multimodal.STUB_FEATURE_DIM
+    byte_terms = " + ".join(
+        f"('0x' || substr(h, {2 * k + 1}, 2))::BIGINT" for k in range(dim)
+    )
+    return f"""
+WITH {_media_sql_cte()},
+hashed AS (SELECT media_id, kind, sha256(decode(payload)) AS h FROM m)
+SELECT kind, count(*)::BIGINT AS n,
+       round(sum(({byte_terms})::DOUBLE / 256.0), 4) AS feat_sum
+FROM hashed GROUP BY kind ORDER BY kind
+"""
+
+
+def _media_frames_sql() -> str:
+    return f"""
+WITH {_media_sql_cte()}
+SELECT media_id, frame_idx::INT AS frame_idx,
+       sha256(decode(payload) || ':' || frame_idx::VARCHAR) AS frame_sha
+FROM (
+  SELECT media_id, payload,
+         unnest(range(0, greatest(1, duration_ms // 1000))) AS frame_idx
+  FROM m
+)
+"""
+
+
+def _ann_bucket_sql(vi: str) -> str:
+    """Integer sign-LSH bucket over a quantized list column — the exact
+    SQL twin of similarity.int_bucket_col (same md5-derived planes, same
+    floor(x*1000) quantization, pure integer arithmetic)."""
+    from kafka_connect_opensearch_spark.operators.similarity import int_hyperplanes
+
+    planes = int_hyperplanes(ANN_DIM, ANN_PLANES)
+    bits = []
+    for i, plane in enumerate(planes):
+        terms = [
+            f"{vi}[{j + 1}]*({p})" for j, p in enumerate(plane) if p != 0
+        ]
+        dot = " + ".join(terms) if terms else "0"
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ann_lsh_sql() -> str:
+    cos = "list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000)::BIGINT) AS vi
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding, ({_ann_bucket_sql('vi')})::BIGINT AS bucket
+  FROM base
+),
+q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+SELECT vec_id, cosine FROM (
+  SELECT c.vec_id, round({cos}, 6) AS cosine
+  FROM b c, q
+  WHERE c.vec_id > 0 AND bit_count(xor(c.bucket, q.bucket)) <= {ANN_RADIUS}
+) ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 

@@ -207,33 +207,29 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     """Per-doc SimHash fingerprint (tf-weighted bit votes over portable
     term hashes). Returns (id, simhash long).
 
-    Shape: tokenize → explode → tf per (id, term) → cross join with the
-    bit axis (tiny broadcast range) → vote sum per (id, bit) → pack.
+    Single-pass shape: tokenize → explode occurrences → hash each
+    occurrence → ONE groupBy(id) with ``bits`` conditional sums (one
+    aggregate column per bit), then pack bit values in a projection.
+    Summing ±1 per *occurrence* equals summing tf×(±1) per distinct term,
+    so no (id, term) tf pre-aggregation is needed. The shuffle carries one
+    row of ``bits`` longs per (id, partition) thanks to map-side partial
+    aggregation — versus the previous bit-axis explode, which shuffled
+    ``bits``× the distinct-(doc,term) stream (a 60× blowup at scale).
     """
-    tf = (
-        df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("toks"))
-        .select("id", F.explode("toks").alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", hash64("term", "sh:"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    ).select("id", hash64("term", "sh:").alias("h"))
+    votes = occ.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    bit_axis = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        tf.select("id", "tf", "h", bit_axis)
-        # shiftright/shiftleft take a column shift amount only via SQL expr
-        .withColumn("vote", F.expr("tf * ((shiftright(h, bit) & 1) * 2 - 1)"))
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-                   "ELSE CAST(0 AS BIGINT) END"),
-        )
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    packed = None
+    for b in range(bits):
+        bitval = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bitval if packed is None else packed + bitval
+    return votes.select("id", packed.cast("long").alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

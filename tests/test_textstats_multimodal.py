@@ -97,7 +97,7 @@ def test_frame_sampling_cardinality(spark):
     one = [r for r in frames if r["media_id"] == 2 and r["frame_idx"] == 0][0]
     payload = [r["payload"] for r in media.collect() if r["media_id"] == 2][0]
     assert one["frame_sha"] == hashlib.sha256(
-        bytes(payload) + (0).to_bytes(4, "big")
+        bytes(payload) + b":0"
     ).hexdigest()
 
 
