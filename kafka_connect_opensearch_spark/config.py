@@ -101,6 +101,10 @@ class EngineConfig:
     # (measured 2.7× slower at inflight=5 vs 1 on local[32]). Raise only
     # when single jobs can't saturate the cluster (many tiny segments).
     build_concurrency: int = 1
+    # micro-batches grouped per ingest pipeline (group commit; the
+    # reference's BulkProcessor batches bulks the same way). Each batch
+    # still commits its own manifest — crash re-work is bounded by one wave.
+    ingest_wave_size: int = 4
     shuffle_partitions: int = 32
     salt_partitions: int = 8         # two-level agg fanout for hot terms
     block_size: int = POSTINGS_BLOCK_SIZE
@@ -156,6 +160,8 @@ class EngineConfig:
             raise ConfigException("salt_partitions must be >= 1")
         if self.build_concurrency < 1:
             raise ConfigException("build_concurrency must be >= 1")
+        if self.ingest_wave_size < 1:
+            raise ConfigException("ingest_wave_size must be >= 1")
         if self.block_size < 1:
             raise ConfigException("block_size must be >= 1")
         if not (self.k1 >= 0 and 0 <= self.b <= 1):

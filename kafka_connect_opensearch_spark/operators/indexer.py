@@ -35,6 +35,7 @@ throttles these allocation-heavy stages at high thread counts.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 
@@ -483,6 +484,20 @@ def build_index(
                if f"b{b:04d}" not in committed]
     metrics.batches_skipped = config.num_segments - len(pending)
 
+    if len(pending) > 1:
+        # Stage the identity-stamped source ONCE, Hive-partitioned by
+        # _batch, so each micro-batch reads exactly one partition
+        # (partition pruning) instead of rescanning + re-hashing the full
+        # source per segment — previously num_segments full scans. Only
+        # the columns the segment build consumes are staged (identity +
+        # content); everything else is pruned at the staging write.
+        staging = os.path.join(index_dir, "staging")
+        needed = ["doc_id", "doc_key", "content_sha256", content_col]
+        docs.select(*needed, "_batch").write.partitionBy("_batch").mode(
+            "overwrite"
+        ).parquet(staging)
+        docs = spark.read.parquet(staging)
+
     def run_batch(b: int) -> SegmentMeta:
         batch_id = f"b{b:04d}"
         seg_name = f"seg_g0_{batch_id}"
@@ -527,8 +542,51 @@ def build_index(
             for seg_meta in pool.map(run_batch, pending):
                 _accumulate(metrics, seg_meta)
     else:
-        for b in pending:
-            _accumulate(metrics, run_batch(b))
+        # Wave (group) commit: build `ingest_wave_size` pending batches in
+        # ONE pipeline (the bulk shape — one scan of the staged source, one
+        # doc shuffle, one partials shuffle), then commit each batch's
+        # manifest individually. This is the reference's BulkProcessor
+        # grouping (OpenSearchClient.java:145-155): durability granularity
+        # stays the micro-batch (a crash mid-wave re-runs only that wave),
+        # but per-job fixed latency is paid once per wave, not per batch.
+        wave_size = max(1, config.ingest_wave_size)
+        for wi in range(0, len(pending), wave_size):
+            wave = pending[wi:wi + wave_size]
+            if len(wave) == 1:
+                _accumulate(metrics, run_batch(wave[0]))
+                continue
+            root = store.bulk_path(f"g0w{wave[0]:04d}")
+            wave_docs = docs.filter(
+                F.col("_batch").isin([int(b) for b in wave])
+            ).withColumn(
+                "seg",
+                F.concat(
+                    F.lit("seg_g0_b"),
+                    F.lpad(F.col("_batch").cast("string"), 4, "0"),
+                ),
+            ).drop("_batch")
+            metas, _ = _build_segments_pipeline(
+                spark, wave_docs, root, config, content_col,
+                job_tag=f"wave_{os.path.basename(index_dir)}_{wave[0]:04d}",
+            )
+            by_name = {m.name: m for m in metas}
+            for b in wave:
+                batch_id = f"b{b:04d}"
+                seg_meta = by_name.get(f"seg_g0_{batch_id}") or SegmentMeta(
+                    name=f"seg_g0_{batch_id}", generation=0, doc_count=0,
+                    sum_dl=0, n_terms=0, n_postings=0, path=root,
+                )
+                call_with_retries(
+                    f"commit {batch_id}",
+                    lambda batch_id=batch_id, seg_meta=seg_meta: store.commit_batch(
+                        batch_id,
+                        {"batch": batch_id, "segments": [seg_meta.__dict__],
+                         "replaces": []},
+                    ),
+                    max_retries=config.max_retries,
+                    retry_backoff_ms=config.retry_backoff_ms,
+                )
+                _accumulate(metrics, seg_meta)
 
     metrics.wall_secs = time.monotonic() - t0
     return metrics
@@ -555,8 +613,6 @@ def build_index_bulk(
     resume for a single atomic commit (the manifest is written once at the
     end) — incremental ingestion keeps using :func:`build_index`.
     """
-    from pyspark.sql import Observation
-
     config = config or EngineConfig()
     t0 = time.monotonic()
     store = SegmentStore(index_dir)
@@ -589,10 +645,48 @@ def build_index_bulk(
             ),
         ),
     )
+    metas, obs = _build_segments_pipeline(
+        spark, docs, root, config, content_col, job_tag=bulk_id
+    )
+    call_with_retries(
+        f"commit {bulk_id}",
+        lambda: store.commit_batch(
+            bulk_id,
+            {"batch": bulk_id, "segments": [m.__dict__ for m in metas],
+             "replaces": []},
+        ),
+        max_retries=config.max_retries,
+        retry_backoff_ms=config.retry_backoff_ms,
+    )
+    metrics = BuildMetrics(
+        docs_indexed=sum(m.doc_count for m in metas),
+        postings_written=sum(m.n_postings for m in metas),
+        segments_built=len(metas),
+    )
+    metrics.details["observed_docs"] = obs["docs"]
+    metrics.details["observed_postings"] = obs["postings"]
+    metrics.wall_secs = time.monotonic() - t0
+    return metrics
+
+
+def _build_segments_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    config: EngineConfig,
+    content_col: str,
+    job_tag: str,
+) -> tuple[list[SegmentMeta], dict]:
+    """Build every segment named by ``docs.seg`` in ONE pipeline: one doc
+    shuffle, one packed-partials shuffle, two Hive-partitioned writes under
+    ``root``. Shared by the bulk initial load (all segments) and the
+    micro-batched ingest's wave commits (a few segments per wave)."""
+    from pyspark.sql import Observation
+
     spread = docs.repartition(config.shuffle_partitions, "doc_id")
     analyzed = add_analysis(spread, content_col)
 
-    doc_obs = Observation(f"{bulk_id}_docs")
+    doc_obs = Observation(f"{job_tag}_docs")
     analyzed.select(*DOCS_COLUMNS, "seg").observe(
         doc_obs, F.count(F.lit(1)).alias("n")
     ).write.partitionBy("seg").mode("overwrite").parquet(f"{root}/docs.parquet")
@@ -607,7 +701,7 @@ def build_index_bulk(
     post = l2.mapInPandas(
         _make_merge_stream(None, config.block_size), schema=POSTINGS_SCHEMA
     )
-    post_obs = Observation(f"{bulk_id}_post")
+    post_obs = Observation(f"{job_tag}_post")
     post.observe(
         post_obs,
         F.count(F.lit(1)).alias("terms"),
@@ -645,25 +739,11 @@ def build_index_bulk(
                 path=root,
             )
         )
-    call_with_retries(
-        f"commit {bulk_id}",
-        lambda: store.commit_batch(
-            bulk_id,
-            {"batch": bulk_id, "segments": [m.__dict__ for m in metas],
-             "replaces": []},
-        ),
-        max_retries=config.max_retries,
-        retry_backoff_ms=config.retry_backoff_ms,
-    )
-    metrics = BuildMetrics(
-        docs_indexed=sum(m.doc_count for m in metas),
-        postings_written=sum(m.n_postings for m in metas),
-        segments_built=len(metas),
-    )
-    metrics.details["observed_docs"] = int(doc_obs.get["n"])
-    metrics.details["observed_postings"] = int(post_obs.get["postings"])
-    metrics.wall_secs = time.monotonic() - t0
-    return metrics
+    obs = {
+        "docs": int(doc_obs.get["n"]),
+        "postings": int(post_obs.get["postings"]),
+    }
+    return metas, obs
 
 
 def _accumulate(metrics: BuildMetrics, seg_meta: SegmentMeta) -> None:

@@ -159,6 +159,28 @@ def test_resume_from_checkpoint(spark, tmp_path, corpus_pdf):
     np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
 
 
+def test_wave_commit_manifests_and_noop_rerun(spark, tmp_path, corpus_pdf):
+    """Wave (group) commit must still produce one manifest per micro-batch
+    (resume granularity) and a re-run must skip everything."""
+    from kafka_connect_opensearch_spark.operators.segments import SegmentStore
+
+    d = str(tmp_path / "idx")
+    src = generate_corpus(spark, 120)
+    cfg = EngineConfig(num_segments=4, salt_partitions=2, ingest_wave_size=2)
+    m = build_index(spark, src, d, cfg)
+    assert m.segments_built == 4
+    store = SegmentStore(d)
+    assert sorted(store.committed_batches()) == [f"b{i:04d}" for i in range(4)]
+    m2 = build_index(spark, src, d, cfg)
+    assert m2.batches_skipped == 4 and m2.segments_built == 0
+    reader = IndexReader(spark, d)
+    assert reader.doc_count() == 120
+    pdf = _with_ids(generate_corpus_pandas(120))
+    got = reader.search("ident_1 return", k=10).toPandas()
+    want = brute_force_bm25(pdf, "ident_1 return", k=10, text_col="content")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 def test_prepare_documents_ids_match_python(spark):
     src = generate_corpus(spark, 20)
     rows = prepare_documents(src).select("doc_key", "doc_id").collect()
