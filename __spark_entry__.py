@@ -317,6 +317,43 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_stream_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 + data-stream write rules: topic→data-stream name with the
+    reference's truncate-topic-BEFORE-prefix semantics (long topics
+    collapse onto their 100-char prefix), op CREATE, and external
+    versioning disabled (DataConverter.java:175-180,225-235)."""
+    from kafka_connect_opensearch_spark.config import DataStreamType
+    from kafka_connect_opensearch_spark.functions.text import (
+        convert_topic_to_data_stream_name,
+    )
+    from kafka_connect_opensearch_spark.operators.convert import (
+        write_action_columns,
+    )
+
+    cfg = EngineConfig(
+        data_stream_type=DataStreamType.LOGS, data_stream_dataset="events"
+    )
+    ev = _read(spark, sf_dir, "events")
+    topics = ev.select(
+        F.concat(
+            F.lit("Topic."),
+            F.col("event_type"),
+            F.expr("repeat('x', CAST(user_id % 120 AS INT))"),
+        ).alias("topic")
+    )
+    named = topics.select(
+        convert_topic_to_data_stream_name(
+            "topic", cfg.data_stream_type.value, cfg.data_stream_dataset
+        ).alias("stream")
+    )
+    named = write_action_columns(named, cfg)
+    return (
+        named.groupBy("stream", "op_type", "use_external_versioning")
+        .agg(F.count("*").alias("n"))
+        .orderBy("stream")
+    )
+
+
 def q_index_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 topic→index normalization over synthesized topic names."""
     ev = _read(spark, sf_dir, "events")
@@ -479,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_routing": q_tombstone_routing,
         "upsert_merge": q_upsert_merge,
         "index_name_norm": q_index_name_norm,
+        "data_stream_routing": q_data_stream_routing,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "window_topn": q_window_topn,
@@ -693,6 +731,7 @@ FROM (SELECT '_' || upper(event_type) || '.' || (user_id % 3)::VARCHAR AS topic
       FROM events)
 GROUP BY 1 ORDER BY 1
 """,
+        "data_stream_routing": _data_stream_sql(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -732,6 +771,21 @@ SELECT event_id,
 FROM events
 """,
     }
+
+
+def _data_stream_sql() -> str:
+    from kafka_connect_opensearch_spark.functions.text import (
+        convert_topic_to_data_stream_name_sql,
+    )
+
+    name = convert_topic_to_data_stream_name_sql("topic", "logs", "events")
+    return f"""
+SELECT {name} AS stream, 'create' AS op_type,
+       FALSE AS use_external_versioning, count(*)::BIGINT AS n
+FROM (SELECT 'Topic.' || event_type || repeat('x', (user_id % 120)::INT)
+        AS topic FROM events)
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def _language_id_sql() -> str:

@@ -36,6 +36,15 @@ class WriteMethod(str, Enum):
     UPSERT = "upsert"
 
 
+class DataStreamType(str, Enum):
+    """Reference ``OpenSearchSinkConnectorConfig.DataStreamType``
+    (OpenSearchSinkConnectorConfig.java:369-373; default NONE)."""
+
+    NONE = "none"
+    LOGS = "logs"
+    METRICS = "metrics"
+
+
 class ConfigException(ValueError):
     """Raised when configuration invariants are violated."""
 
@@ -92,6 +101,10 @@ class EngineConfig:
     write_method: WriteMethod = WriteMethod.INSERT
     behavior_on_null_values: BehaviorOnNullValues = BehaviorOnNullValues.FAIL
     behavior_on_malformed_docs: BehaviorOnMalformedDoc = BehaviorOnMalformedDoc.FAIL
+    # --- data streams (reference OpenSearchSinkConnectorConfig.java:306-355) ---
+    data_stream_type: DataStreamType = DataStreamType.NONE
+    data_stream_dataset: str = ""
+    data_stream_timestamp_field: tuple[str, ...] = ()
     # --- index build ---
     num_segments: int = 8            # micro-batches per build (segment count)
     # concurrent segment-build jobs from driver threads. The reference's
@@ -118,6 +131,16 @@ class EngineConfig:
 
     def __post_init__(self) -> None:
         self.validate()
+
+    @property
+    def is_data_stream(self) -> bool:
+        """Reference ``isDataStream()``
+        (OpenSearchSinkConnectorConfig.java:813-815): type set AND dataset
+        non-empty."""
+        return (
+            self.data_stream_type != DataStreamType.NONE
+            and self.data_stream_dataset != ""
+        )
 
     def validate(self) -> None:
         """Cross-field rules, mirroring ``Validator.java``.
@@ -166,3 +189,25 @@ class EngineConfig:
             raise ConfigException("block_size must be >= 1")
         if not (self.k1 >= 0 and 0 <= self.b <= 1):
             raise ConfigException("require k1 >= 0 and 0 <= b <= 1")
+        self._validate_data_stream_dataset()
+
+    def _validate_data_stream_dataset(self) -> None:
+        """DataStreamDatasetValidator parity
+        (OpenSearchSinkConnectorConfig.java:988-1024): ≤100 chars, all
+        lowercase, none of ``\\/*?"<>| ,#-:``."""
+        import re
+
+        ds = self.data_stream_dataset
+        if not ds:
+            return
+        if len(ds) > 100:
+            raise ConfigException(
+                "data_stream_dataset must be no longer than 100 characters"
+            )
+        if ds != ds.lower():
+            raise ConfigException("data_stream_dataset must be all lowercase")
+        if re.search(r'[\\/*?"<>| ,#\-:]', ds):
+            raise ConfigException(
+                "data_stream_dataset must not contain spaces or any of "
+                '\\/*?"<>|,#-:'
+            )

@@ -69,10 +69,16 @@ def convert_records(
     config = config or EngineConfig()
     df = synthesize_doc_key(df, id_cols)
 
-    malformed_cond = F.lit(False)
+    null_key_cond = F.lit(False)
     for c in id_cols:
-        malformed_cond = malformed_cond | F.col(c).isNull()
+        null_key_cond = null_key_cond | F.col(c).isNull()
     tombstone_cond = F.col(content_col).isNull()
+    # Reference precedence (DataConverter.convertRecord,
+    # DataConverter.java:116-160): the null-VALUE branch runs first — a
+    # tombstone with a null key is silently ignored (nothing to delete,
+    # DataConverter.java:123-135), NOT a malformed record. Only a non-null
+    # value with a null key is a DataException (malformed).
+    malformed_cond = null_key_cond & ~tombstone_cond
 
     # FAIL policies are checked eagerly (one small agg action on the batch):
     # the reference throws at put() time, and a lazily-embedded raise_error
@@ -84,18 +90,8 @@ def convert_records(
     ):
         counts = df.agg(
             F.sum(malformed_cond.cast("long")).alias("malformed"),
-            F.sum((tombstone_cond & ~malformed_cond).cast("long")).alias(
-                "tombstones"
-            ),
+            F.sum(tombstone_cond.cast("long")).alias("tombstones"),
         ).collect()[0]
-        if (
-            config.behavior_on_malformed_docs == BehaviorOnMalformedDoc.FAIL
-            and (counts["malformed"] or 0) > 0
-        ):
-            raise ValueError(
-                f"malformed records in batch ({counts['malformed']}) with "
-                "behavior_on_malformed_docs=fail"
-            )
         if (
             config.behavior_on_null_values == BehaviorOnNullValues.FAIL
             and (counts["tombstones"] or 0) > 0
@@ -103,6 +99,14 @@ def convert_records(
             raise ValueError(
                 f"null value for {counts['tombstones']} records with "
                 "behavior_on_null_values=fail"
+            )
+        if (
+            config.behavior_on_malformed_docs == BehaviorOnMalformedDoc.FAIL
+            and (counts["malformed"] or 0) > 0
+        ):
+            raise ValueError(
+                f"malformed records in batch ({counts['malformed']}) with "
+                "behavior_on_malformed_docs=fail"
             )
 
     reason = F.when(
@@ -113,14 +117,25 @@ def convert_records(
     dlq = tagged.filter(F.col("_error").isNotNull())
     ok = tagged.filter(F.col("_error").isNull()).drop("_error")
 
-    deletes = ok.filter(tombstone_cond).select("doc_key") if (
+    # deletable tombstones need a key (null-key tombstones drop silently)
+    deletes = ok.filter(tombstone_cond & ~null_key_cond).select("doc_key") if (
         config.behavior_on_null_values == BehaviorOnNullValues.DELETE
     ) else ok.filter(F.lit(False)).select("doc_key")
     docs = ok.filter(~tombstone_cond)
 
+    if config.is_data_stream:
+        # data streams: @timestamp injection (DataConverter.java:202-223)
+        docs = add_timestamp(docs, config.data_stream_timestamp_field)
     if version_col is not None:
-        # W4: latest-wins per doc_key — replays are no-ops (idempotence)
-        docs = latest_wins(docs, "doc_key", version_col)
+        if config.is_data_stream:
+            # Data streams write with op CREATE and NO external versioning
+            # (DataConverter.java:175-180,225-235): a replayed id hits a
+            # version conflict, which the error policy ignores (E2) — the
+            # FIRST write wins, not the latest.
+            docs = first_wins(docs, "doc_key", version_col)
+        else:
+            # W4: latest-wins per doc_key — replays are no-ops (idempotence)
+            docs = latest_wins(docs, "doc_key", version_col)
     return ConvertedBatch(documents=docs, deletes=deletes, dlq=dlq)
 
 
@@ -136,19 +151,20 @@ def route_records(
     route counts become ONE aggregation job instead of three ``count()``
     actions recomputing the source scan."""
     config = config or EngineConfig()
-    malformed_cond = F.lit(False)
+    null_key_cond = F.lit(False)
     for c in id_cols:
-        malformed_cond = malformed_cond | F.col(c).isNull()
+        null_key_cond = null_key_cond | F.col(c).isNull()
     tombstone_cond = F.col(content_col).isNull()
-    tombstone_route = (
-        "delete"
-        if config.behavior_on_null_values == BehaviorOnNullValues.DELETE
-        else "drop"
-    )
+    delete_policy = config.behavior_on_null_values == BehaviorOnNullValues.DELETE
+    # tombstones take precedence over malformed (DataConverter.java:116-160);
+    # a null-key tombstone drops silently even under DELETE
+    tombstone_route = F.when(
+        F.lit(delete_policy) & ~null_key_cond, F.lit("delete")
+    ).otherwise(F.lit("drop"))
     return df.withColumn(
         "route",
-        F.when(malformed_cond, F.lit("dlq"))
-        .when(tombstone_cond, F.lit(tombstone_route))
+        F.when(tombstone_cond, tombstone_route)
+        .when(null_key_cond, F.lit("dlq"))
         .otherwise(F.lit("index")),
     )
 
@@ -164,6 +180,43 @@ def latest_wins(df: DataFrame, key_col: str, version_col: str) -> DataFrame:
         )
     )
     return packed.select(key_col, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def first_wins(df: DataFrame, key_col: str, version_col: str) -> DataFrame:
+    """min_by per key — data-stream CREATE-op semantics: the first write of
+    an id succeeds, replays raise version conflicts the error policy
+    ignores (DataConverter.java:175-180, OpenSearchClient.java:91-98)."""
+    others = [c for c in df.columns if c != key_col]
+    packed = df.groupBy(key_col).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]), F.col(version_col)).alias(
+            "_row"
+        )
+    )
+    return packed.select(key_col, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def write_action_columns(df: DataFrame, config: EngineConfig) -> DataFrame:
+    """Attach the write-request shape the reference derives per record
+    (DataConverter.java:168-185, 225-235): ``op_type`` (create for data
+    streams, else index/update by write method) and
+    ``use_external_versioning`` (disabled for data streams and ignored
+    keys)."""
+    from kafka_connect_opensearch_spark.config import WriteMethod
+
+    if config.write_method == WriteMethod.UPSERT:
+        op = "update"
+    elif config.is_data_stream:
+        op = "create"
+    else:
+        op = "index"
+    versioned = (
+        config.write_method == WriteMethod.INSERT
+        and not config.is_data_stream
+        and not config.key_ignore
+    )
+    return df.withColumn("op_type", F.lit(op)).withColumn(
+        "use_external_versioning", F.lit(versioned)
+    )
 
 
 def apply_deletes(index_docs: DataFrame, deletes: DataFrame, key: str) -> DataFrame:

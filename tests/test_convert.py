@@ -121,6 +121,75 @@ def test_upsert_field_level_merge(spark):
     }
 
 
+def _ds_cfg(**kw):
+    from kafka_connect_opensearch_spark.config import DataStreamType
+
+    return EngineConfig(
+        data_stream_type=DataStreamType.LOGS, data_stream_dataset="ds",
+        behavior_on_null_values=BehaviorOnNullValues.IGNORE,
+        behavior_on_malformed_docs=BehaviorOnMalformedDoc.IGNORE,
+        **kw,
+    )
+
+
+def test_data_stream_disables_external_versioning(spark):
+    """DataConverterTest.java:480-491: data streams never use external
+    versioning, even with key.ignore=false; op type is CREATE."""
+    from kafka_connect_opensearch_spark.operators.convert import (
+        write_action_columns,
+    )
+
+    df = spark.createDataFrame([("a",)], "doc_key string")
+    ds = write_action_columns(df, _ds_cfg(key_ignore=False)).collect()[0]
+    assert ds["op_type"] == "create"
+    assert ds["use_external_versioning"] is False
+    plain = write_action_columns(df, EngineConfig(key_ignore=False)).collect()[0]
+    assert plain["op_type"] == "index"
+    assert plain["use_external_versioning"] is True
+    ignored = write_action_columns(df, EngineConfig(key_ignore=True)).collect()[0]
+    assert ignored["use_external_versioning"] is False
+
+
+def test_data_stream_first_wins_on_replay(spark, records):
+    """CREATE op + ignored version conflicts ⇒ the FIRST write of an id
+    sticks; a replayed higher-version record is a no-op
+    (DataConverter.java:175-180, OpenSearchClient.java:91-98)."""
+    batch = convert_records(
+        records, ("topic", "part", "offset"), "content", version_col="version",
+        config=_ds_cfg(),
+    )
+    docs = {r["doc_key"]: r["content"] for r in batch.documents.collect()}
+    assert len(docs) == 2
+    assert any(v == "doc b" for v in docs.values())      # first write won
+    assert not any(v == "doc b v2" for v in docs.values())
+    # data streams inject @timestamp (P5)
+    assert "@timestamp" in batch.documents.columns
+
+
+def test_null_key_tombstone_is_ignored_not_malformed(spark):
+    """DataConverter.java:123-135: a tombstone with a null key is silently
+    dropped (nothing to delete) — not DLQ'd, not deleted — even under
+    DELETE policy."""
+    rows = [(None, None), ("k1", None), ("k2", "body")]
+    df = spark.createDataFrame(rows, "id string, content string")
+    batch = convert_records(
+        df, ("id",), "content",
+        config=_cfg(BehaviorOnNullValues.DELETE, BehaviorOnMalformedDoc.IGNORE),
+    )
+    assert batch.dlq.count() == 0
+    assert [r["doc_key"] for r in batch.deletes.collect()] == ["k1"]
+    assert batch.documents.count() == 1
+
+
+def test_data_stream_dataset_validation():
+    from kafka_connect_opensearch_spark.config import ConfigException
+
+    for bad in ["UPPER", "x" * 101, "has space", "has-dash", "has:colon"]:
+        with pytest.raises(ConfigException):
+            EngineConfig(data_stream_dataset=bad)
+    EngineConfig(data_stream_dataset="valid_dataset.name")
+
+
 def test_preprocess_decimal_and_map(spark):
     df = spark.createDataFrame(
         [(1, {7: 2}, [1.5])],
