@@ -281,6 +281,46 @@ def q_tombstone_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_malformed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 breadth: records are graded into the reference's four
+    MALFORMED_DOC_ERRORS classes (OpenSearchClient.java:91-98) plus
+    tombstone/ok, from synthesized defects over the events table."""
+    from kafka_connect_opensearch_spark.operators.convert import (
+        classify_malformed,
+        synthesize_doc_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    t = ev.select(
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .when(F.col("event_id") % 17 == 0, F.expr("repeat('k', 600)"))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("rid"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .when(F.col("event_id") % 7 == 0, F.lit("{broken"))
+        .when(F.col("event_id") % 5 == 0, F.lit('{"a": 1, "zzz": 2}'))
+        .otherwise(F.lit('{"a": 1}'))
+        .alias("payload"),
+    )
+    t = synthesize_doc_key(t, ("rid",))
+    reason = classify_malformed(
+        t, ("rid",), "payload", payload_col="payload", mapping_fields=("a", "b")
+    )
+    classed = t.withColumn(
+        "err_class",
+        F.coalesce(
+            F.split(reason, ":")[0],
+            F.when(F.col("payload").isNull(), F.lit("tombstone")).otherwise(
+                F.lit("ok")
+            ),
+        ),
+    )
+    return (
+        classed.groupBy("err_class").agg(F.count("*").alias("n"))
+        .orderBy("err_class")
+    )
+
+
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 upsert: latest 'O'-status order per customer partially updates the
     customer's earliest order (full-outer + coalesce field merge)."""
@@ -369,6 +409,34 @@ def q_index_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("index_name")
     )
+
+
+def q_payload_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4 end-to-end: a schema'd payload (decimal, int-keyed map,
+    string-keyed map) runs preprocess (Decimal→double, MAP→kv-structs,
+    string-maps stay compact) → to_json, exactly DataConverter.convertRecord
+    (DataConverter.java:116-200). The oracle rebuilds the same JSON text in
+    SQL. Fraction values are dyadic (k/8) so double→text is identical in
+    the JVM and DuckDB."""
+    from kafka_connect_opensearch_spark.operators.convert import (
+        preprocess_payload,
+        to_json_payload,
+    )
+
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    typed = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        ((F.col("o_orderkey") % 8) / 8.0).cast("decimal(10,3)").alias("frac"),
+        F.create_map(
+            (F.col("o_orderkey") % 3).cast("int"),
+            (F.col("o_custkey") % 7).cast("int"),
+        ).alias("flags"),
+        F.create_map(F.lit("status"), F.col("o_orderstatus")).alias("tags"),
+    )
+    pre = preprocess_payload(typed, ["custkey", "frac", "flags", "tags"])
+    out = to_json_payload(pre, ["custkey", "frac", "flags", "tags"], out="doc_json")
+    return out.select(F.col("o_orderkey").alias("orderkey"), "doc_json")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,9 +582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "latest_wins": q_latest_wins,
         "tombstone_routing": q_tombstone_routing,
+        "malformed_routing": q_malformed_routing,
         "upsert_merge": q_upsert_merge,
         "index_name_norm": q_index_name_norm,
         "data_stream_routing": q_data_stream_routing,
+        "payload_conversion": q_payload_conversion,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "window_topn": q_window_topn,
@@ -703,6 +773,28 @@ LEFT JOIN (
 ) c ON r.route = c.route
 ORDER BY r.route
 """,
+        "malformed_routing": """
+WITH t AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+              WHEN event_id % 17 = 0 THEN repeat('k', 600)
+              ELSE event_id::VARCHAR END AS rid,
+         CASE WHEN event_type = 'error' THEN NULL
+              WHEN event_id % 7 = 0 THEN '{broken'
+              WHEN event_id % 5 = 0 THEN '{"a": 1, "zzz": 2}'
+              ELSE '{"a": 1}' END AS payload
+  FROM events
+)
+SELECT CASE WHEN payload IS NULL THEN 'tombstone'
+            WHEN rid IS NULL THEN 'action_request_validation_exception'
+            WHEN strlen(rid) > 512 THEN 'illegal_argument_exception'
+            WHEN NOT json_valid(payload) THEN 'mapper_parsing_exception'
+            WHEN len(list_filter(json_keys(payload),
+                                 k -> k NOT IN ('a', 'b'))) > 0
+                 THEN 'strict_dynamic_mapping_exception'
+            ELSE 'ok' END AS err_class,
+       count(*)::BIGINT AS n
+FROM t GROUP BY 1 ORDER BY 1
+""",
         "upsert_merge": """
 WITH existing AS (
   SELECT o_custkey AS custkey, o_orderkey AS orderkey,
@@ -732,6 +824,15 @@ FROM (SELECT '_' || upper(event_type) || '.' || (user_id % 3)::VARCHAR AS topic
 GROUP BY 1 ORDER BY 1
 """,
         "data_stream_routing": _data_stream_sql(),
+        "payload_conversion": """
+SELECT o_orderkey AS orderkey,
+       '{"custkey":' || o_custkey
+       || ',"frac":' || ((o_orderkey % 8) / 8.0)::VARCHAR
+       || ',"flags":[{"key":' || (o_orderkey % 3)
+       || ',"value":' || (o_custkey % 7) || '}]'
+       || ',"tags":{"status":"' || o_orderstatus || '"}}' AS doc_json
+FROM orders WHERE o_orderkey % 10 = 0
+""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

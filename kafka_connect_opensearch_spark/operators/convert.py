@@ -52,12 +52,75 @@ def synthesize_doc_key(
     return df.withColumn(out, F.concat_ws(DOC_KEY_SEP, *[F.col(c) for c in id_cols]))
 
 
+# Reference MALFORMED_DOC_ERRORS (OpenSearchClient.java:91-98): the four
+# response-error classes routed through behavior_on_malformed_docs. In a
+# Spark-native engine the same defects are detectable at conversion time,
+# so each class becomes a record-shape predicate.
+MAX_DOC_ID_BYTES = 512  # OpenSearch hard limit; longer ids raise
+                        # illegal_argument_exception at the bulk API
+
+
+def classify_malformed(
+    df: DataFrame,
+    id_cols: tuple[str, ...],
+    content_col: str,
+    payload_col: str | None = None,
+    mapping_fields: tuple[str, ...] | None = None,
+    key_col: str = "doc_key",
+    max_id_bytes: int = MAX_DOC_ID_BYTES,
+) -> Column:
+    """E1 classifier: per-record error class (null when well-formed),
+    mirroring the reference's MALFORMED_DOC_ERRORS set
+    (OpenSearchClient.java:91-98, 534-561):
+
+    - ``action_request_validation_exception`` — null id column (the bulk
+      API rejects requests without an id when deletes/versioning need one);
+    - ``illegal_argument_exception`` — doc id longer than 512 bytes;
+    - ``mapper_parsing_exception`` — payload is not parseable JSON;
+    - ``strict_dynamic_mapping_exception`` — payload contains fields
+      outside the declared mapping (strict dynamic mapping).
+
+    Tombstones (null ``content_col``) are exempt: the null-VALUE policy
+    handles them first (DataConverter.java:116-160). Evaluation order is a
+    single CASE chain — per-row lazy, all JVM built-ins."""
+    null_key = F.lit(False)
+    for c in id_cols:
+        null_key = null_key | F.col(c).isNull()
+    tombstone = F.col(content_col).isNull()
+
+    chain = F.when(tombstone, F.lit(None).cast("string")).when(
+        null_key, F.lit("action_request_validation_exception: null id column")
+    ).when(
+        F.octet_length(F.col(key_col)) > max_id_bytes,
+        F.lit(
+            f"illegal_argument_exception: doc id exceeds {max_id_bytes} bytes"
+        ),
+    )
+    if payload_col is not None:
+        chain = chain.when(
+            F.try_parse_json(F.col(payload_col)).isNull(),
+            F.lit("mapper_parsing_exception: unparseable JSON payload"),
+        )
+        if mapping_fields is not None:
+            unmapped = F.array_except(
+                F.json_object_keys(F.col(payload_col)),
+                F.array(*[F.lit(f) for f in mapping_fields]),
+            )
+            chain = chain.when(
+                F.size(unmapped) > 0,
+                F.lit("strict_dynamic_mapping_exception: unmapped fields"),
+            )
+    return chain.otherwise(F.lit(None).cast("string"))
+
+
 def convert_records(
     df: DataFrame,
     id_cols: tuple[str, ...],
     content_col: str,
     version_col: str | None = None,
     config: EngineConfig | None = None,
+    payload_col: str | None = None,
+    mapping_fields: tuple[str, ...] | None = None,
 ) -> ConvertedBatch:
     """Apply the connector's record policies as a single declarative plan.
 
@@ -76,9 +139,13 @@ def convert_records(
     # Reference precedence (DataConverter.convertRecord,
     # DataConverter.java:116-160): the null-VALUE branch runs first — a
     # tombstone with a null key is silently ignored (nothing to delete,
-    # DataConverter.java:123-135), NOT a malformed record. Only a non-null
-    # value with a null key is a DataException (malformed).
-    malformed_cond = null_key_cond & ~tombstone_cond
+    # DataConverter.java:123-135), NOT a malformed record. The classifier
+    # exempts tombstones and grades everything else into the reference's
+    # four MALFORMED_DOC_ERRORS classes.
+    reason = classify_malformed(
+        df, id_cols, content_col, payload_col, mapping_fields
+    )
+    malformed_cond = reason.isNotNull()
 
     # FAIL policies are checked eagerly (one small agg action on the batch):
     # the reference throws at put() time, and a lazily-embedded raise_error
@@ -109,9 +176,6 @@ def convert_records(
                 "behavior_on_malformed_docs=fail"
             )
 
-    reason = F.when(
-        malformed_cond, F.lit("malformed: null id column")
-    ).otherwise(F.lit(None).cast("string"))
     tagged = df.withColumn("_error", reason)
 
     dlq = tagged.filter(F.col("_error").isNotNull())
@@ -313,6 +377,8 @@ def preprocess_payload(
     return out
 
 
-def to_json_payload(df: DataFrame, payload_cols: list[str], out: str = "payload") -> Column:
+def to_json_payload(
+    df: DataFrame, payload_cols: list[str], out: str = "payload"
+) -> DataFrame:
     """P4: document JSON serialization (DataConverter.java:186-200)."""
     return df.withColumn(out, F.to_json(F.struct(*[F.col(c) for c in payload_cols])))

@@ -38,10 +38,30 @@ def ingest(
     version_col: str | None = None,
     dlq_dir: str | None = None,
     resume: bool = True,
+    payload_cols: list[str] | None = None,
+    mapping_fields: tuple[str, ...] | None = None,
 ) -> IngestResult:
-    """Convert → index → quarantine → delete, with resumable segments."""
+    """Convert → index → quarantine → delete, with resumable segments.
+
+    When ``payload_cols`` is given, the schema'd payload runs the full
+    DataConverter path (DataConverter.java:116-200): §1.2b preprocessing
+    (Decimal→double, MAP→kv-structs) → JSON serialization → that JSON
+    becomes the indexed document body (``content_col`` is replaced)."""
+    from kafka_connect_opensearch_spark.operators.convert import (
+        preprocess_payload,
+        to_json_payload,
+    )
+
     config = config or EngineConfig()
-    batch = convert_records(source, id_cols, content_col, version_col, config)
+    if payload_cols is not None:
+        source = preprocess_payload(
+            source, payload_cols, config.compact_map_entries
+        )
+        source = to_json_payload(source, payload_cols, out=content_col)
+    batch = convert_records(
+        source, id_cols, content_col, version_col, config,
+        mapping_fields=mapping_fields,
+    )
 
     dlq_rows = 0
     if dlq_dir is None:

@@ -55,7 +55,8 @@ def test_ignore_policies_route_to_dlq(spark, records):
     assert batch.documents.count() == 2
     assert batch.deletes.count() == 0
     dlq = batch.dlq.collect()
-    assert len(dlq) == 1 and "malformed" in dlq[0]["_error"]
+    assert len(dlq) == 1
+    assert "action_request_validation" in dlq[0]["_error"]  # null id class
 
 
 def test_delete_policy_routes_tombstones(spark, records):
@@ -179,6 +180,65 @@ def test_null_key_tombstone_is_ignored_not_malformed(spark):
     assert batch.dlq.count() == 0
     assert [r["doc_key"] for r in batch.deletes.collect()] == ["k1"]
     assert batch.documents.count() == 1
+
+
+def test_classify_malformed_all_classes(spark):
+    """OpenSearchClientTest.java:387-452 parity: each MALFORMED_DOC_ERRORS
+    class is detected; tombstones are exempt; clean records pass."""
+    from kafka_connect_opensearch_spark.operators.convert import (
+        classify_malformed,
+        synthesize_doc_key,
+    )
+
+    rows = [
+        (None, '{"a": 1}'),          # null id → action_request_validation
+        ("k" * 600, '{"a": 1}'),     # oversize id → illegal_argument
+        ("id3", "{broken"),          # bad JSON → mapper_parsing
+        ("id4", '{"a": 1, "x": 2}'),  # unmapped field → strict_dynamic_mapping
+        ("id5", None),               # tombstone → exempt
+        ("id6", '{"a": 1, "b": 2}'),  # clean
+    ]
+    df = synthesize_doc_key(
+        spark.createDataFrame(rows, "rid string, payload string"), ("rid",)
+    )
+    got = [
+        r["e"]
+        for r in df.select(
+            classify_malformed(
+                df, ("rid",), "payload",
+                payload_col="payload", mapping_fields=("a", "b"),
+            ).alias("e")
+        ).collect()
+    ]
+    assert got[0].startswith("action_request_validation_exception")
+    assert got[1].startswith("illegal_argument_exception")
+    assert got[2].startswith("mapper_parsing_exception")
+    assert got[3].startswith("strict_dynamic_mapping_exception")
+    assert got[4] is None and got[5] is None
+
+
+def test_convert_records_with_payload_classification(spark):
+    """convert_records quarantines every malformed class to the DLQ with
+    its reason; FAIL raises when any class is present."""
+    rows = [
+        ("id1", '{"a": 1}', "body"),
+        ("id2", "{broken", "body"),
+    ]
+    df = spark.createDataFrame(rows, "rid string, payload string, content string")
+    batch = convert_records(
+        df, ("rid",), "content",
+        config=_cfg(BehaviorOnNullValues.IGNORE, BehaviorOnMalformedDoc.IGNORE),
+        payload_col="payload", mapping_fields=("a",),
+    )
+    assert batch.documents.count() == 1
+    dlq = batch.dlq.collect()
+    assert len(dlq) == 1 and "mapper_parsing" in dlq[0]["_error"]
+    with pytest.raises(ValueError, match="malformed"):
+        convert_records(
+            df, ("rid",), "content",
+            config=_cfg(BehaviorOnNullValues.IGNORE, BehaviorOnMalformedDoc.FAIL),
+            payload_col="payload", mapping_fields=("a",),
+        )
 
 
 def test_data_stream_dataset_validation():

@@ -116,6 +116,28 @@ def test_add_timestamp_first_matching_field(spark):
     assert rows == {"x": "2024-01-02", "y": "2024-05-05"}
 
 
+def test_pipeline_ingest_schema_payload(spark, tmp_path):
+    """DataConverter.convertRecord end-to-end (DataConverter.java:116-200):
+    a schema'd payload goes preprocess (Decimal→double, MAP→kv-structs) →
+    to_json → indexed; the JSON tokens are then searchable."""
+    rows = [("r", "a.py", "c1", 1, {3: 4}), ("r", "b.py", "c1", 2, {5: 6})]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, n int, m map<int,int>"
+    ).withColumn("price", (F.col("n") * 1.5).cast("decimal(10,2)"))
+    cfg = EngineConfig(
+        num_segments=1, salt_partitions=2,
+        behavior_on_null_values=BehaviorOnNullValues.IGNORE,
+        behavior_on_malformed_docs=BehaviorOnMalformedDoc.IGNORE,
+    )
+    d = str(tmp_path / "idx")
+    res = ingest(spark, src, d, cfg, payload_cols=["n", "m", "price"])
+    assert res.metrics.docs_indexed == 2
+    reader = IndexReader(spark, d)
+    # JSON body text: {"n":1,"m":[{"key":3,"value":4}],"price":1.5}
+    assert reader.match_count("price") == 2     # field names tokenized
+    assert reader.match_count("key") == 2       # int-keyed map → kv structs
+
+
 def test_full_pipeline_ingest(spark, tmp_path):
     """put-path end-to-end: policies, DLQ, dedup, index, tombstone delete."""
     rows = [
