@@ -120,6 +120,9 @@ class EngineConfig:
     ingest_wave_size: int = 4
     shuffle_partitions: int = 32
     salt_partitions: int = 8         # two-level agg fanout for hot terms
+    # --- tiered auto-merge (Lucene-style; reference's flush cadence analog)
+    auto_merge: bool = False         # run tiered merge after each ingest
+    merge_factor: int = 4            # segments per tier before a merge trips
     block_size: int = POSTINGS_BLOCK_SIZE
     # --- BM25 ---
     k1: float = BM25_K1
@@ -185,6 +188,8 @@ class EngineConfig:
             raise ConfigException("build_concurrency must be >= 1")
         if self.ingest_wave_size < 1:
             raise ConfigException("ingest_wave_size must be >= 1")
+        if self.merge_factor < 2:
+            raise ConfigException("merge_factor must be >= 2")
         if self.block_size < 1:
             raise ConfigException("block_size must be >= 1")
         if not (self.k1 >= 0 and 0 <= self.b <= 1):

@@ -44,6 +44,58 @@ from kafka_connect_opensearch_spark.retry import call_with_retries
 DECODED_SCHEMA = "term string, _segname string, doc_id long, tf long, dl long"
 
 
+def tiered_merge_candidates(
+    segments: list[SegmentMeta], merge_factor: int = 4
+) -> list[str]:
+    """Size-tiered merge policy (Lucene TieredMergePolicy shape): segments
+    are binned by ``floor(log_mf(doc_count))``; the first (smallest) tier
+    holding ≥ merge_factor segments yields its merge_factor smallest
+    members. Smallest-first keeps write amplification logarithmic: each
+    document is rewritten O(log_mf(N)) times over the index's lifetime."""
+    import math
+
+    tiers: dict[int, list[SegmentMeta]] = {}
+    for m in segments:
+        tier = int(math.log(max(m.doc_count, 1), merge_factor))
+        tiers.setdefault(tier, []).append(m)
+    for tier in sorted(tiers):
+        if len(tiers[tier]) >= merge_factor:
+            picked = sorted(tiers[tier], key=lambda m: (m.doc_count, m.name))
+            return [m.name for m in picked[:merge_factor]]
+    return []
+
+
+def auto_merge(
+    spark: SparkSession,
+    index_dir: str,
+    config: EngineConfig | None = None,
+) -> BuildMetrics:
+    """Run the tiered policy to a fixed point: merge while any tier trips.
+
+    This is the engine's analog of the reference's automatic flush/merge
+    cadence (BulkProcessor, OpenSearchClient.java:145-155) — without it a
+    long-running incremental ingest accumulates unbounded segment count and
+    query-side unions grow linearly. Idempotent and crash-safe: each merge
+    is an atomic manifest commit; a re-run just continues."""
+    config = config or EngineConfig()
+    total = BuildMetrics()
+    t0 = time.monotonic()
+    store = SegmentStore(index_dir)
+    while True:
+        names = tiered_merge_candidates(
+            store.active_segments(), config.merge_factor
+        )
+        if not names:
+            break
+        m = merge_segments(spark, index_dir, config, segment_names=names)
+        total.docs_indexed += m.docs_indexed
+        total.postings_written += m.postings_written
+        total.segments_built += m.segments_built
+        total.segments_merged += m.segments_merged
+    total.wall_secs = time.monotonic() - t0
+    return total
+
+
 def decode_postings_df(postings: DataFrame) -> DataFrame:
     """Packed postings rows → exploded (term, seg, doc_id, tf, dl) rows.
 

@@ -88,5 +88,11 @@ def ingest(
         # delete, W3); doc_key of a delete record joins the index identity
         merge_segments(spark, index_dir, config, delete_doc_keys=batch.deletes)
         deletes_applied = n_deletes
+    if config.auto_merge:
+        # tiered compaction keeps segment count bounded across repeated
+        # incremental ingests (the reference's automatic flush cadence)
+        from kafka_connect_opensearch_spark.operators.merge import auto_merge
+
+        auto_merge(spark, index_dir, config)
     return IngestResult(metrics=metrics, dlq_rows=dlq_rows,
                         deletes_applied=deletes_applied)

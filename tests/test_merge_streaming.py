@@ -64,6 +64,38 @@ def test_merge_preserves_search_results(spark, merged_index):
         )
 
 
+def test_tiered_auto_merge_converges(spark, tmp_path):
+    """Many micro-batches converge to a bounded segment count under the
+    size-tiered policy, with rank-identical queries before/after."""
+    from kafka_connect_opensearch_spark.operators.merge import (
+        auto_merge,
+        tiered_merge_candidates,
+    )
+
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=12, salt_partitions=2,
+                       shuffle_partitions=4, merge_factor=4)
+    build_index(spark, generate_corpus(spark, N), d, cfg)
+    store = SegmentStore(d)
+    assert len(store.active_segments()) == 12
+    reader = IndexReader(spark, d)
+    before = reader.search("ident_1 return", k=10).toPandas()
+
+    m = auto_merge(spark, d, cfg)
+    after_segs = store.active_segments()
+    assert len(after_segs) <= 4
+    assert m.segments_merged >= 8
+    # fixed point: no tier trips anymore
+    assert tiered_merge_candidates(after_segs, cfg.merge_factor) == []
+
+    reader2 = IndexReader(spark, d)
+    after = reader2.search("ident_1 return", k=10).toPandas()
+    assert after["doc_id"].tolist() == before["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        after["score"].to_numpy(), before["score"].to_numpy()
+    )
+
+
 def test_merge_latest_wins_across_generations(spark, tmp_path):
     """Re-ingesting changed content for the same doc identity: the newer
     generation shadows the older one after merge (W4 at index level)."""
