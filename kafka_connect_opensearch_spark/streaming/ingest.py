@@ -4,12 +4,15 @@ The reference's unbounded SinkRecord flow (OpenSearchSinkTask.put, the poll
 loop) maps to Structured Streaming: each micro-batch becomes one segment,
 committed atomically with its manifest entry; Spark's streaming checkpoint
 plays the role of the framework's offset commit (O1-O5 subsumed —
-SURVEY.md §7.4 "streaming state"). Rate limiting via ``maxFilesPerTrigger``
-is the backpressure analogue of partition pausing (B4,
-OpenSearchSinkTask.java:330-377).
+SURVEY.md §7.4 "streaming state"). Static rate limiting via
+``maxFilesPerTrigger`` plus DYNAMIC backpressure via
+:class:`SegmentBackpressure` together re-cast the reference's partition
+pause/resume (B3/B4, OpenSearchSinkTask.java:330-377).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -22,6 +25,49 @@ from kafka_connect_opensearch_spark.operators.indexer import (
 from kafka_connect_opensearch_spark.operators.segments import SegmentStore
 
 
+@dataclass
+class SegmentBackpressure:
+    """Dynamic pause/resume, re-cast from the reference's PartitionPauser
+    (OpenSearchSinkTask.java:330-377, PartitionPauserTest.java): the sink
+    pauses consumption when its buffer crosses a high watermark and resumes
+    below a low one. In Structured Streaming the trigger IS the poll loop,
+    so 'pausing the partition' = blocking the micro-batch until the sink
+    drains; the 'buffer' is the count of small undrained segments, and the
+    drain is a tiered merge. Under a slow sink this bounds both segment
+    count and query-side union width instead of growing without limit."""
+
+    store: SegmentStore
+    config: EngineConfig
+    high_mark: int = 8
+    low_mark: int = 4
+    pauses: int = 0
+    resumes: int = 0
+    events: list = field(default_factory=list)
+
+    def before_batch(self, spark: SparkSession) -> None:
+        from kafka_connect_opensearch_spark.operators.merge import (
+            tiered_merge_candidates,
+            merge_segments,
+        )
+
+        if len(self.store.active_segments()) < self.high_mark:
+            return
+        self.pauses += 1
+        self.events.append(("pause", len(self.store.active_segments())))
+        while len(self.store.active_segments()) > self.low_mark:
+            names = tiered_merge_candidates(
+                self.store.active_segments(), self.config.merge_factor
+            )
+            if not names:
+                # fewer than merge_factor per tier left: merge the rest
+                names = [m.name for m in self.store.active_segments()]
+            merge_segments(
+                spark, self.store.index_dir, self.config, segment_names=names
+            )
+        self.resumes += 1
+        self.events.append(("resume", len(self.store.active_segments())))
+
+
 def start_streaming_index_build(
     spark: SparkSession,
     source_dir: str,
@@ -32,6 +78,7 @@ def start_streaming_index_build(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     content_col: str = "content",
     max_files_per_trigger: int = 4,
+    backpressure: SegmentBackpressure | None = None,
 ) -> StreamingQuery:
     """File-source streaming build: new parquet files under ``source_dir``
     are ingested as micro-batches, one segment per non-empty batch."""
@@ -56,6 +103,8 @@ def start_streaming_index_build(
             return
         if batch_df.isEmpty():
             return
+        if backpressure is not None:
+            backpressure.before_batch(spark)
         docs = prepare_identity(batch_df, id_cols, content_col)
         seg_name = f"seg_s_{bid}"
         meta = _build_one_segment(

@@ -152,6 +152,49 @@ def test_merge_applies_deletes(spark, tmp_path):
     assert remaining == set(pdf["doc_id"].iloc[5:])
 
 
+def test_streaming_backpressure_pause_resume(spark, tmp_path):
+    """PartitionPauserTest parity: when undrained segments cross the high
+    watermark, ingest pauses, drains via tiered merge to the low mark, and
+    resumes — segment count stays bounded, results stay rank-identical."""
+    from kafka_connect_opensearch_spark.sources.corpus import CORPUS_SCHEMA
+    from kafka_connect_opensearch_spark.streaming.ingest import (
+        SegmentBackpressure,
+        start_streaming_index_build,
+    )
+
+    src_dir = str(tmp_path / "src")
+    pdf = _oracle_pdf(60)
+    corpus = generate_corpus(spark, 60)
+    for k in range(10):  # ten "arriving" files → ten micro-batches
+        corpus.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == k).coalesce(
+            1
+        ).write.parquet(src_dir, mode="append")
+    idx_dir = str(tmp_path / "bidx")
+    cfg = EngineConfig(num_segments=1, salt_partitions=2, shuffle_partitions=4,
+                       merge_factor=3)
+    gate = SegmentBackpressure(
+        SegmentStore(idx_dir), cfg, high_mark=5, low_mark=2
+    )
+    q = start_streaming_index_build(
+        spark, src_dir, CORPUS_SCHEMA, idx_dir, str(tmp_path / "ckpt"),
+        cfg, max_files_per_trigger=1, backpressure=gate,
+    )
+    q.awaitTermination(240)
+    assert gate.pauses >= 1 and gate.resumes == gate.pauses
+    # every pause drained to ≤ low_mark before resuming
+    assert all(n <= 2 for ev, n in gate.events if ev == "resume")
+    store = SegmentStore(idx_dir)
+    assert len(store.active_segments()) <= 5 + 1
+    reader = IndexReader(spark, idx_dir)
+    assert reader.doc_count() == 60
+    got = reader.search("ident_1 return", k=10).toPandas()
+    want = brute_force_bm25(pdf, "ident_1 return", k=10, text_col="content")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+
+
 def test_streaming_ingest(spark, tmp_path):
     """File-stream ingestion: micro-batches become segments; the stream's
     index answers identically to a batch-built one."""
