@@ -117,6 +117,37 @@ def main() -> None:
             n_docs / timings["index_build_incremental"], 1
         )
 
+        # --- tiered auto-merge: compaction cost + query-latency payoff
+        from kafka_connect_opensearch_spark.operators.merge import auto_merge
+        from kafka_connect_opensearch_spark.operators.segments import (
+            SegmentStore,
+        )
+
+        inc_reader = IndexReader(spark, f"{work}/index_inc")
+        pre = []
+        for rnd in range(2):
+            for q, mode in BM25_QUERY_SET:
+                t1 = time.monotonic()
+                inc_reader.search_topk(q, k=10, mode=mode)
+                if rnd > 0:
+                    pre.append((time.monotonic() - t1) * 1000)
+        t0 = time.monotonic()
+        auto_merge(spark, f"{work}/index_inc", cfg)
+        timings["auto_merge"] = round(time.monotonic() - t0, 3)
+        extras["segments_after_merge"] = len(
+            SegmentStore(f"{work}/index_inc").active_segments()
+        )
+        merged_reader = IndexReader(spark, f"{work}/index_inc")
+        post = []
+        for rnd in range(2):
+            for q, mode in BM25_QUERY_SET:
+                t1 = time.monotonic()
+                merged_reader.search_topk(q, k=10, mode=mode)
+                if rnd > 0:
+                    post.append((time.monotonic() - t1) * 1000)
+        extras["query_p50_ms_multiseg"] = round(float(np.percentile(pre, 50)), 1)
+        extras["query_p50_ms_merged"] = round(float(np.percentile(post, 50)), 1)
+
         # --- BM25 query latency (reference query set, 2 warm rounds):
         # native engine path (search_topk) is the p50/p95 headline; the
         # DataFrame wrapper (pipeline-integration path) timed separately
@@ -148,6 +179,9 @@ def main() -> None:
             "dedup_exact",
             "cosine_topk",
             "knn_join",
+            "ann_lsh_topk",
+            "malformed_routing",
+            "payload_conversion",
             "language_id",
             "quality_score",
             "pricing_summary",

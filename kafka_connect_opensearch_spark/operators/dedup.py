@@ -70,6 +70,32 @@ def with_shingles(
     )
 
 
+def shingle_stream(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) rows via posexplode + window ``lead`` —
+    equivalent set semantics to :func:`with_shingles`, but every operator
+    stays inside whole-stage codegen (array higher-order functions are
+    CodegenFallback, i.e. interpreted per element — measured ~5× slower
+    cold). Downstream stages (minhash signatures, candidate-only array
+    assembly) consume the stream, so per-doc shingle ARRAYS are never
+    materialized for the whole corpus — only for candidate pairs."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", k).over(w) for k in range(1, n)]
+    sh = tok.select(
+        "id",
+        F.concat_ws(" ", *leads).alias("s"),
+        leads[-1].alias("_last"),
+    )
+    return sh.filter(F.col("_last").isNotNull()).drop("_last").distinct()
+
+
 def signatures_from_shingles(
     shingled: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
@@ -82,7 +108,12 @@ def signatures_from_shingles(
     codegen with map-side partial mins, which measured ~3× faster and
     shuffles only 16 longs per (id, partition)."""
     ex = shingled.select("id", F.explode("shingles").alias("s"))
-    agg = ex.groupBy("id").agg(
+    return signatures_from_stream(ex, num_hashes)
+
+
+def signatures_from_stream(stream: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Distinct (id, s) shingle stream → (id, minhash array<long>)."""
+    agg = stream.groupBy("id").agg(
         *[
             F.min(hash64("s", f"mh{i}:")).alias(f"m{i}")
             for i in range(num_hashes)
@@ -172,21 +203,26 @@ def minhash_lsh_dedup(
     path and the verify join (3 plan subtrees otherwise re-tokenize the
     corpus; at 100 TB the cache is a checkpointed table instead)."""
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df, text_col, id_col, n).persist()
-    sigs = signatures_from_shingles(sh, num_hashes)
+    stream = shingle_stream(df, text_col, id_col, n).persist()
+    sigs = signatures_from_stream(stream, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     # Verify step: semi-join the (small) candidate id set against the
-    # shingle table first, then broadcast the surviving shingle rows into
-    # the pair frame — the full shingle arrays are never shuffled. At a
-    # scale where the candidate set itself outgrows broadcast, drop the
-    # broadcast hints and the same plan degrades to shuffle joins keyed by
-    # id (still linear; never all-pairs).
+    # shingle stream first and assemble per-doc shingle ARRAYS only for
+    # those ids, then broadcast them into the pair frame — full shingle
+    # arrays are never built corpus-wide nor shuffled. At a scale where
+    # the candidate set itself outgrows broadcast, drop the broadcast
+    # hints and the same plan degrades to shuffle joins keyed by id
+    # (still linear; never all-pairs).
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    sh_c = (
+        stream.join(F.broadcast(cand_ids), "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("s").alias("shingles"))
+    )
     j = (
         cands.join(
             F.broadcast(
