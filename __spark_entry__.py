@@ -233,6 +233,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_STRIDE = 37
+IVF_NPROBE = 4
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, the second scale path beside sign-LSH: deterministic
+    sampled centroids, corpus materialized ONCE partitioned by nearest
+    centroid, probe reranks only the nprobe nearest partitions."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") > 0)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = similarity.ivf_centroids(corpus, stride=IVF_STRIDE)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    table_dir = os.path.join(_INDEX_ROOT, f"ivf_{tag}_s{IVF_STRIDE}")
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        similarity.materialize_ivf(corpus, cents, table_dir)
+    centroid_rows = [
+        (r["centroid_id"], list(r["centroid"])) for r in cents.collect()
+    ]
+    return similarity.ivf_table_topk(
+        spark, table_dir, qvec, centroid_rows, k=10, nprobe=IVF_NPROBE
+    )
+
+
 def q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W4 latest-wins identity over the events stream: newest event per
     user (ties → highest event_id)."""
@@ -580,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "knn_join": q_knn_join,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "latest_wins": q_latest_wins,
         "tombstone_routing": q_tombstone_routing,
         "malformed_routing": q_malformed_routing,
@@ -725,6 +750,7 @@ WHERE {_jaccard_expr("a.shingles", "b.shingles")} >= {JACCARD_THRESHOLD}
 """,
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ivf_topk": _ivf_sql(),
         "media_feature_stats": _media_features_sql(),
         "media_frame_sample": _media_frames_sql(),
         "simhash_fingerprints": _simhash_sql(),
@@ -1050,6 +1076,43 @@ SELECT vec_id, cosine FROM (
   SELECT c.vec_id, round({cos}, 6) AS cosine
   FROM b c, q
   WHERE c.vec_id > 0 AND bit_count(xor(c.bucket, q.bucket)) <= {ANN_RADIUS}
+) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ivf_sql() -> str:
+    """Full IVF twin: sampled centroids, rounded-cosine nearest-centroid
+    assignment (ties → lowest centroid id), query probes its nprobe
+    nearest centroids, exact rerank inside those partitions."""
+    sim = "round(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6)"
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id > 0 AND vec_id % {IVF_STRIDE} = 1
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {sim} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings v, cent c WHERE v.vec_id > 0
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY {sim} DESC, c.centroid_id ASC) AS rn
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) v, cent c
+  ) WHERE rn <= {IVF_NPROBE}
+)
+SELECT vec_id, cosine FROM (
+  SELECT a.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine
+  FROM assign a
+  JOIN qprobe p ON a.centroid_id = p.centroid_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 

@@ -211,6 +211,95 @@ def lsh_bucketed_topk(
     return brute_force_topk(cands, query_vec, k, id_col, vec_col, round_to)
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+#
+# The second scale path beside sign-LSH: vectors are assigned to their
+# nearest centroid ONCE at ingest and stored partitioned by centroid; a
+# probe reranks only the nprobe nearest centroid partitions. Centroids are
+# a deterministic corpus sample (IVF random-sampling init) so the DuckDB
+# oracle reproduces the assignment; swap in Lloyd-iterated centroids on a
+# real deployment and nothing downstream changes.
+
+
+def ivf_centroids(
+    df: DataFrame,
+    stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled centroids: every ``stride``-th vector."""
+    return df.filter(F.col(id_col) % stride == 1).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    rank by rounded cosine (ties → lowest centroid id, so the assignment
+    is reproducible in any engine)."""
+    joined = df.join(F.broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    return (
+        joined.withColumn(
+            "_sim",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("centroid")), round_to
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def materialize_ivf(
+    df: DataFrame,
+    centroids: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus partitioned by centroid (Hive ``centroid_id=N``)."""
+    ivf_assign(df, centroids, id_col, vec_col).write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(out_dir)
+
+
+def ivf_table_topk(
+    spark,
+    table_dir: str,
+    query_vec,
+    centroid_rows: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF probe: pick the query's nprobe nearest centroids driver-side
+    (tiny list), read only those partitions, exact cosine re-rank."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    scored = []
+    for cid, cvec in centroid_rows:
+        c = np.asarray(cvec, dtype=np.float64)
+        sim = round(float(c @ q / (np.linalg.norm(c) * qn)), round_to)
+        scored.append((-sim, cid))
+    probes = [cid for _, cid in sorted(scored)[:nprobe]]
+    cands = spark.read.parquet(table_dir).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col, round_to)
+
+
 def lsh_table_topk(
     spark,
     table_dir: str,

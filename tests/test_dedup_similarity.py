@@ -163,6 +163,25 @@ def test_lsh_topk_high_recall_on_near_vectors(spark, vectors):
     assert len(got & {1, 2, 3, 4}) >= 3
 
 
+def test_ivf_topk_recall_and_pruning(spark, vectors, tmp_path):
+    """IVF: nearest-centroid partitioning + nprobe probing recovers the
+    tight neighbors; the probe reads only the probed partitions."""
+    from kafka_connect_opensearch_spark import plans
+
+    corpus = vectors.filter(F.col("vec_id") > 0)
+    cents = similarity.ivf_centroids(corpus, stride=7)
+    d = str(tmp_path / "ivf")
+    similarity.materialize_ivf(corpus, cents, d)
+    rows = vectors.collect()
+    q = rows[0]["embedding"]
+    centroid_rows = [(r["centroid_id"], list(r["centroid"]))
+                     for r in cents.collect()]
+    out = similarity.ivf_table_topk(spark, d, q, centroid_rows, k=4, nprobe=2)
+    assert plans.has_partition_filter(out, "centroid_id")
+    got = {r["vec_id"] for r in out.collect()}
+    assert len(got & {1, 2, 3, 4}) >= 3  # tight neighbors recovered
+
+
 def test_knn_join_ranks(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("probe_id"), "embedding"
