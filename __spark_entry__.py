@@ -83,6 +83,8 @@ def _get_index(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _media_table(spark)  # ensure the media fixture exists before any
+    # media oracle runs (the oracle reads the same parquet bytes)
     reader = _get_index(spark, "/root/testdata/sf0.001")
     res = reader.search(BM25_QUERY, k=10, mode="or")
     return res.select("doc_id", F.round("score", 4).alias("score"))

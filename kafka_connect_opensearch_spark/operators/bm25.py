@@ -178,9 +178,12 @@ class IndexReader:
             )
             if not rows:
                 return empty
-            return self.spark.createDataFrame(
-                rows, "doc_id long, score double"
+            # pandas input takes the Arrow-backed createDataFrame path
+            # (a list of tuples serializes row-by-row through the JVM)
+            pdf = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"}
             )
+            return self.spark.createDataFrame(pdf, "doc_id long, score double")
         local_topk = (
             self.postings([t for t, _ in qterms])
             .groupBy("seg")
