@@ -175,6 +175,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+SIMHASH_MAX_DIST = 8
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (pigeonhole) SimHash near-dup join — the oracle computes the
+    same pair set by brute-force all-pairs, so the banding's exactness is
+    what's verified."""
+    return dedup.simhash_near_dup_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        max_distance=SIMHASH_MAX_DIST,
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -602,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_fingerprints": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_join": q_knn_join,
@@ -756,6 +770,13 @@ WHERE {_jaccard_expr("a.shingles", "b.shingles")} >= {JACCARD_THRESHOLD}
         "media_feature_stats": _media_features_sql(),
         "media_frame_sample": _media_frames_sql(),
         "simhash_fingerprints": _simhash_sql(),
+        "simhash_near_dups": f"""
+WITH sh AS ({_simhash_sql()})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DIST}
+""",
         "cosine_topk": f"""
 SELECT vec_id, cosine FROM (
   SELECT a.vec_id, round({cos}, 6) AS cosine

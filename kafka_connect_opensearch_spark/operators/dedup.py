@@ -13,8 +13,9 @@ across engines.
 Scale notes: MinHash-LSH is the 100 TB path — candidate generation is a
 self-join on (band, band_hash) buckets, i.e. a shuffle keyed by bucket with
 no quadratic blow-up; the exact-Jaccard verify runs only on bucket-collided
-pairs. The brute-force pairwise operators (n-gram Jaccard, cosine all-pairs)
-are correctness baselines meant for bounded candidate sets.
+pairs. Exact n-gram Jaccard uses an inverted index on shingles (shuffle
+keyed by shingle; never a cartesian product). SimHash all-pairs and cosine
+all-pairs remain correctness baselines meant for bounded candidate sets.
 """
 
 from __future__ import annotations
@@ -250,19 +251,50 @@ def minhash_lsh_dedup(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Brute-force all-pairs n-gram Jaccard ≥ threshold (correctness
-    baseline; O(n²) — bounded inputs only). The LSH variant above is the
-    scale path."""
-    sh = with_shingles(df, text_col, id_col, n)
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        a.crossJoin(b)
+    """EXACT all-pairs n-gram Jaccard ≥ threshold, without the cartesian
+    product: an inverted index on shingles yields per-pair intersection
+    counts (docs sharing zero shingles have jaccard 0 and can never reach
+    a positive threshold), then |A∪B| = |A| + |B| − |A∩B| from per-doc set
+    sizes. Identical results to the brute-force definition for any
+    threshold > 0. Scale shape: one shuffle keyed by shingle; cost is
+    Σ_s df(s)² over shared shingles — near-dup-pair-bounded on real
+    corpora, degenerate only for a shingle shared by a large fraction of
+    docs (stopword-run shingles; cap df or pre-filter those at 100 TB).
+    MinHash-LSH above stays the approximate scale path."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are "
+                         "not enumerated)")
+    stream = shingle_stream(df, text_col, id_col, n)
+    sizes = stream.groupBy("id").agg(F.count("*").alias("sz"))
+    a = stream.select(F.col("id").alias("id_a"), "s")
+    b = stream.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    # sizes is corpus-wide (one row per doc) — no broadcast hint; AQE
+    # broadcasts when it fits and shuffle-joins on id otherwise
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -305,17 +337,55 @@ def hamming_distance(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_distance: int = 8
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 8,
+    bits: int = 60,
 ) -> DataFrame:
-    """All-pairs SimHash Hamming-distance filter (baseline; at scale, band
-    the 60 bits into prefixes and bucket-join like LSH)."""
-    s = simhash(df, text_col, id_col)
-    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    """EXACT SimHash near-dup pairs via banded bucketing (pigeonhole): the
+    ``bits``-bit fingerprint splits into ``max_distance + 1`` bands, so any
+    pair within Hamming distance ≤ max_distance agrees exactly on at least
+    one band. Candidates come from a band-equality self-join (shuffle keyed
+    by (band, value) — never a cartesian product); the exact popcount
+    verify then filters false candidates. Identical results to the
+    all-pairs definition."""
+    s = simhash(df, text_col, id_col, bits)
+    nb = max_distance + 1
+    sizes = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    entries = []
+    off = 0
+    for i, width in enumerate(sizes):
+        entries.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(
+                    f"shiftright(simhash, {off}) & {(1 << width) - 1}"
+                ).alias("val"),
+            )
+        )
+        off += width
+    banded = s.select(
+        "id", "simhash", F.explode(F.array(*entries)).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming_distance(F.col("h_a"), F.col("h_b")))
+        cands.withColumn(
+            "hamming", hamming_distance(F.col("h_a"), F.col("h_b"))
+        )
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )

@@ -110,6 +110,23 @@ def test_simhash_matches_numpy_oracle(spark, docs):
     assert got == want
 
 
+def test_simhash_banded_pairs_equal_bruteforce(spark, docs):
+    """Pigeonhole banding must return EXACTLY the all-pairs result."""
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_dup_pairs(
+               docs, "text", "doc_id", max_distance=20).collect()}
+    sh = {r["id"]: r["simhash"]
+          for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sh[a] ^ sh[b]).count("1")
+            if d <= 20:
+                want[(a, b)] = d
+    assert got == want and len(want) >= 2  # 1~4 and 3~5 are exact twins
+
+
 def test_hamming_distance(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     got = df.select(
