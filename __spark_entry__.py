@@ -102,6 +102,22 @@ def _bm25(mode: str):
     return run
 
 
+BOOL_MUST = "table"
+BOOL_SHOULD = "hash join"
+BOOL_MUST_NOT = "window"
+
+
+def q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch bool query (must + should + must_not) — matches contain
+    all must terms and no must_not terms; score sums BM25 over
+    must∪should terms present."""
+    reader = _get_index(spark, sf_dir)
+    res = reader.search_bool(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT, k=10
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _match_count(mode: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_index(spark, sf_dir)
@@ -602,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_or": _bm25("or"),
         "bm25_topk_and": _bm25("and"),
+        "bm25_bool": q_bm25_bool,
         "match_count_or": _match_count("or"),
         "match_count_and": _match_count("and"),
         "doc_count": q_doc_count,
@@ -680,6 +697,52 @@ FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
 """
 
 
+def _bm25_bool_sql() -> str:
+    must = sorted(set(BOOL_MUST.split()))
+    score_terms = sorted(set(must) | set(BOOL_SHOULD.split()))
+    not_terms = sorted(set(BOOL_MUST_NOT.split()))
+    values = ", ".join(f"('{t}', 1.0)" for t in score_terms)
+    must_in = ", ".join(f"'{t}'" for t in must)
+    not_in = ", ".join(f"'{t}'" for t in not_terms)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+dstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks)::DOUBLE AS dl FROM docs
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN (VALUES {values}) q(term, qtf) ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  CROSS JOIN dstats s
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN tf.term IN ({must_in})
+                             THEN tf.term END) = {len(must)}
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM (
+  SELECT * FROM scores
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ({not_in}))
+  ORDER BY raw DESC, doc_id ASC LIMIT 10
+) t
+"""
+
+
 def _match_count_sql(mode: str) -> str:
     terms = sorted(set(COUNT_TERMS))
     inlist = ", ".join(f"'{t}'" for t in terms)
@@ -723,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_or": _bm25_sql("or"),
         "bm25_topk_and": _bm25_sql("and"),
+        "bm25_bool": _bm25_bool_sql(),
         "match_count_or": _match_count_sql("or"),
         "match_count_and": _match_count_sql("and"),
         "doc_count": "SELECT count(*)::BIGINT AS n FROM documents",

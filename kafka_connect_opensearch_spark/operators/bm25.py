@@ -216,6 +216,56 @@ class IndexReader:
         )
         return self._local_topk([t for t, _ in qterms], scorer, k)
 
+    def search_bool(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = 10,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """OpenSearch bool-query semantics (the reference delegates these to
+        ``_search``, OpenSearchHelperClient.java:106-109): a match must
+        contain ALL ``must`` terms and NONE of ``must_not``; the score sums
+        BM25 over ``must`` + ``should`` terms present. With no ``must``,
+        any ``should`` term matches. Deterministic (score desc, doc_id)
+        tie-break, same adaptive local/distributed execution as
+        :meth:`search`."""
+        must_t = sorted(set(tokenize_py(must)))
+        should_t = sorted(set(tokenize_py(should)) - set(must_t))
+        not_t = sorted(set(tokenize_py(must_not)))
+        n_docs, avgdl = self._stats
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        score_terms = sorted(set(must_t) | set(should_t))
+        if not score_terms or n_docs == 0:
+            return empty
+        dfs = self.term_stats(score_terms + not_t)
+        if any(t not in dfs for t in must_t):
+            return empty
+        weights = {
+            t: bm25_idf(n_docs, dfs[t]) for t in score_terms if t in dfs
+        }
+        not_present = [t for t in not_t if t in dfs]
+        scorer = _make_bool_segment_scorer(
+            weights, must_t, not_present, avgdl, self.k1, self.b, k
+        )
+        fetch_terms = sorted(set(weights) | set(not_present))
+        total_postings = sum(dfs[t] for t in fetch_terms)
+        if total_postings <= local_threshold:
+            rows = self._local_topk(fetch_terms, scorer, k)
+            if not rows:
+                return empty
+            pdf = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            return self.spark.createDataFrame(pdf, "doc_id long, score double")
+        local_topk = (
+            self.postings(fetch_terms)
+            .groupBy("seg")
+            .applyInPandas(scorer, schema="doc_id long, score double")
+        )
+        return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _local_topk(self, terms: list[str], scorer, k: int):
         """Coordinator-side scatter-gather: pyarrow-filtered postings scan
         → per-segment numpy scoring (same function as the distributed
@@ -406,6 +456,53 @@ def _maxscore_candidates(
     if extras:
         cand = np.unique(np.concatenate([cand, *extras]))
     return cand
+
+
+def _make_bool_segment_scorer(
+    weights: dict[str, float],
+    must_terms: list[str],
+    not_terms: list[str],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+):
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = _decode_rows(pdf)
+        score_decoded = {t: v for t, v in decoded.items() if t in weights}
+        if not score_decoded:
+            return empty
+        if must_terms:
+            if any(t not in decoded for t in must_terms):
+                return empty
+            cand = None
+            for term in sorted(must_terms,
+                               key=lambda t: decoded[t][0].size):
+                ids = decoded[term][0]
+                cand = ids if cand is None else cand[np.isin(cand, ids)]
+                if cand.size == 0:
+                    return empty
+        else:
+            cand = np.unique(
+                np.concatenate([v[0] for v in score_decoded.values()])
+            )
+        for t in not_terms:
+            if t in decoded and cand.size:
+                cand = cand[~np.isin(cand, decoded[t][0])]
+        if cand.size == 0:
+            return empty
+        scores = _exact_scores(cand, score_decoded, weights, avgdl, k1, b)
+        order = np.lexsort((cand, -scores))[:k]
+        return pd.DataFrame(
+            {"doc_id": cand[order].astype("int64"), "score": scores[order]}
+        )
+
+    return score_segment
 
 
 def _make_segment_counter(qterms: list[str], mode: str):

@@ -125,6 +125,52 @@ def test_bm25_rank_identical(spark, index_dir, corpus_pdf, query, mode):
     )
 
 
+def test_search_bool_matches_bruteforce(spark, index_dir, corpus_pdf):
+    """bool-query semantics: all must terms, no must_not terms, score over
+    must∪should present — bit-identical to an independent numpy oracle."""
+    from collections import Counter
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+    from kafka_connect_opensearch_spark.operators.bm25 import bm25_idf
+
+    must, should, must_not = "ident_1", "return import", "class"
+    reader = IndexReader(spark, index_dir)
+    got = reader.search_bool(must=must, should=should, must_not=must_not,
+                             k=10).toPandas()
+
+    toks = [tokenize_py(t) for t in corpus_pdf["content"]]
+    ids = corpus_pdf["doc_id"].to_numpy(dtype="int64")
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl = dls.mean()
+    n = len(toks)
+    must_t = sorted(set(tokenize_py(must)))
+    score_t = sorted(set(must_t) | set(tokenize_py(should)))
+    not_t = sorted(set(tokenize_py(must_not)))
+    k1, b = EngineConfig.k1, EngineConfig.b
+    scores = np.zeros(n)
+    ok = np.ones(n, dtype=bool)
+    for t in must_t:
+        ok &= np.array([t in Counter(tk) for tk in toks])
+    for t in not_t:
+        ok &= ~np.array([t in Counter(tk) for tk in toks])
+    for t in score_t:
+        tf = np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        w = bm25_idf(n, df)
+        has = tf > 0
+        scores[has] += w * (
+            tf[has] * (k1 + 1.0)
+            / (tf[has] + k1 * (1.0 - b + b * dls[has] / avgdl))
+        )
+    idx = np.nonzero(ok)[0]
+    order = np.lexsort((ids[idx], -scores[idx]))[:10]
+    sel = idx[order]
+    assert got["doc_id"].tolist() == ids[sel].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), scores[sel])
+
+
 def test_match_count_parity(spark, index_dir, corpus_pdf):
     reader = IndexReader(spark, index_dir)
     texts = corpus_pdf["content"].tolist()
