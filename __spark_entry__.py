@@ -127,6 +127,18 @@ def _match_count(mode: str):
     return run
 
 
+PHRASE = "hash join"
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase match via index AND-prefilter + exact token-adjacency verify
+    on the candidate sliver (no positional postings needed)."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return reader.phrase_match(docs, PHRASE, id_col="doc_id",
+                               text_col="text").orderBy("doc_id")
+
+
 def q_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _get_index(spark, sf_dir)
     return spark.createDataFrame([(reader.doc_count(),)], "n long")
@@ -621,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": q_bm25_bool,
         "match_count_or": _match_count("or"),
         "match_count_and": _match_count("and"),
+        "phrase_match": q_phrase_match,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -789,6 +802,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": _bm25_bool_sql(),
         "match_count_or": _match_count_sql("or"),
         "match_count_and": _match_count_sql("and"),
+        "phrase_match": f"""
+SELECT doc_id FROM documents
+WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
+               ' {PHRASE} ')
+ORDER BY doc_id
+""",
         "doc_count": "SELECT count(*)::BIGINT AS n FROM documents",
         "term_doc_freq": f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df

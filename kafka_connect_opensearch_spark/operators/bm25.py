@@ -266,6 +266,74 @@ class IndexReader:
         )
         return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def phrase_match(
+        self,
+        source: DataFrame,
+        phrase: str,
+        id_col: str = "doc_id",
+        text_col: str = "content",
+    ) -> DataFrame:
+        """Phrase matching without positional postings: the inverted index
+        prunes to docs containing ALL phrase terms (the cheap, selective
+        step — at 100 TB this is the difference between scanning the corpus
+        and scanning a candidate sliver), then the exact token-adjacency
+        check runs only on those docs' text. Returns matching (doc_id)
+        rows. The adjacency test tokenizes the same way the analyzer does,
+        so punctuation between words doesn't break a phrase."""
+        terms = tokenize_py(phrase)
+        if not terms:
+            return source.select(F.col(id_col).alias("doc_id")).filter(
+                F.lit(False)
+            )
+        cand_rows = self.match_docs_all_terms(
+            sorted(set(terms))
+        ).withColumnRenamed("doc_id", "_cand_id")
+        needle = " ".join(terms)
+        joined = source.join(
+            cand_rows, source[id_col] == F.col("_cand_id")
+        ).withColumn("doc_id", F.col("_cand_id"))
+        # space-pad both haystack and needle: adjacency in token space
+        return (
+            joined.withColumn(
+                "_joined_toks",
+                F.concat(
+                    F.lit(" "),
+                    F.concat_ws(" ", F.expr(
+                        f"regexp_extract_all(lower({text_col}), "
+                        "'[a-z0-9_]+', 0)"
+                    )),
+                    F.lit(" "),
+                ),
+            )
+            .filter(F.contains(F.col("_joined_toks"), F.lit(f" {needle} ")))
+            .select("doc_id")
+        )
+
+    def match_docs_all_terms(self, terms: list[str]) -> DataFrame:
+        """doc_ids containing ALL terms (AND semantics), as a DataFrame —
+        the index-side candidate set for phrase/filter queries."""
+        counter_schema = "doc_id long"
+
+        def and_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            decoded = _decode_rows(pdf)
+            if any(t not in decoded for t in terms):
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            cand = None
+            for t in sorted(terms, key=lambda t: decoded[t][0].size):
+                ids = decoded[t][0]
+                cand = ids if cand is None else cand[np.isin(cand, ids)]
+                if cand.size == 0:
+                    break
+            if cand is None or cand.size == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"doc_id": cand.astype("int64")})
+
+        return (
+            self.postings(list(terms))
+            .groupBy("seg")
+            .applyInPandas(and_docs, schema=counter_schema)
+        )
+
     def _local_topk(self, terms: list[str], scorer, k: int):
         """Coordinator-side scatter-gather: pyarrow-filtered postings scan
         → per-segment numpy scoring (same function as the distributed
