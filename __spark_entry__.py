@@ -130,6 +130,21 @@ def _match_count(mode: str):
 PHRASE = "hash join"
 
 
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch terms-aggregation analog: the index produces the match
+    set (OR over COUNT_TERMS), the warehouse side facets it by (lang,
+    source) — full-text match composing with relational aggregation."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    matches = reader.match_docs(" ".join(COUNT_TERMS), mode="or")
+    return (
+        docs.join(matches, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "source")
+    )
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase match via index AND-prefilter + exact token-adjacency verify
     on the candidate sliver (no positional postings needed)."""
@@ -634,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_or": _match_count("or"),
         "match_count_and": _match_count("and"),
         "phrase_match": q_phrase_match,
+        "search_facets": q_search_facets,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -802,6 +818,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": _bm25_bool_sql(),
         "match_count_or": _match_count_sql("or"),
         "match_count_and": _match_count_sql("and"),
+        "search_facets": f"""
+SELECT lang, source, count(*)::BIGINT AS n
+FROM documents
+WHERE doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents
+  ) WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(COUNT_TERMS)))})
+)
+GROUP BY lang, source ORDER BY lang, source
+""",
         "phrase_match": f"""
 SELECT doc_id FROM documents
 WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',

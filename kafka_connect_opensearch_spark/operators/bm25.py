@@ -309,6 +309,31 @@ class IndexReader:
             .select("doc_id")
         )
 
+    def match_docs(self, query: str, mode: str = "or") -> DataFrame:
+        """doc_ids matching the query (OR: any term; AND: all terms) as a
+        DataFrame — the index-side match set that OpenSearch-style
+        aggregations (facets) and filters compose with."""
+        qterms = sorted(set(tokenize_py(query)))
+        if not qterms:
+            return self.spark.createDataFrame([], "doc_id long")
+        if mode == "and":
+            return self.match_docs_all_terms(qterms)
+
+        def or_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            decoded = _decode_rows(pdf)
+            if not decoded:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            ids = np.unique(
+                np.concatenate([v[0] for v in decoded.values()])
+            )
+            return pd.DataFrame({"doc_id": ids.astype("int64")})
+
+        return (
+            self.postings(qterms)
+            .groupBy("seg")
+            .applyInPandas(or_docs, schema="doc_id long")
+        )
+
     def match_docs_all_terms(self, terms: list[str]) -> DataFrame:
         """doc_ids containing ALL terms (AND semantics), as a DataFrame —
         the index-side candidate set for phrase/filter queries."""
