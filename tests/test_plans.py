@@ -101,6 +101,28 @@ def test_postings_term_filter_reaches_scan(spark, tmp_path):
     assert "doc_ids" not in cols  # (term, df) projection must not read blobs
 
 
+def test_dedup_pair_enumeration_never_cartesian(spark, tmp_path):
+    """Exact pair enumeration (inverted-index Jaccard, banded SimHash)
+    must plan as keyed joins — no CartesianProduct/BroadcastNestedLoopJoin,
+    no Python eval in the plan."""
+    from kafka_connect_opensearch_spark.operators import dedup
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i}") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(d)
+    docs = spark.read.parquet(d)
+    for q in [
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4),
+        dedup.simhash_near_dup_pairs(docs, "text", "doc_id"),
+    ]:
+        plan = plans.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+
+
 def test_agg_has_partial_stage(spark, tpch):
     """groupBy must plan partial (map-side) aggregation before the shuffle."""
     orders = spark.read.parquet(f"{tpch}/orders")
