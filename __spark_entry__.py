@@ -590,6 +590,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization (batch twin of the stateful streaming
+    operator streaming/sessions.py — stream≡batch equality is pytest-
+    pinned; this verifies the session semantics against SQL)."""
+    from kafka_connect_opensearch_spark.streaming.sessions import (
+        sessionize_batch,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_minutes=SESSION_GAP_MIN)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+    )
+
+
 def q_timestamp_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 data-stream @timestamp injection: first non-null candidate field,
     else the batch timestamp (DataConverter.java:202-223)."""
@@ -678,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "window_topn": q_window_topn,
         "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
         "timestamp_injection": q_timestamp_injection,
         "media_feature_stats": q_media_features,
         "media_frame_sample": q_media_frames,
@@ -1021,6 +1044,24 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn FROM (
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+""",
+        "sessionization": f"""
+WITH brk AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS b
+  FROM events
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts)::BIGINT AS session_id
+  FROM brk
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+FROM sid GROUP BY 1, 2
 """,
         "timestamp_injection": """
 SELECT event_id,

@@ -79,3 +79,80 @@ def test_sliding_windows(spark, slide):
     rows = out.collect()
     # each event lands in window_duration/slide = 2 windows
     assert sum(r["n"] for r in rows) == 200
+
+
+def test_stateful_sessionization_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted session row must
+    be a session the batch twin computes, and every session provably
+    closed within the data must have been emitted (cross-batch state +
+    event-time timeout both exercised via two arriving files)."""
+    import datetime as dt
+
+    from kafka_connect_opensearch_spark.streaming.sessions import (
+        closed_sessions_batch,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(4):
+        # session 0: 3 events, 5 min apart; session 1 after a 2h gap
+        for k in range(3):
+            rows.append((eid, user, base + dt.timedelta(minutes=5 * k + user)))
+            eid += 1
+        for k in range(2):
+            rows.append(
+                (eid, user,
+                 base + dt.timedelta(hours=2, minutes=5 * k + user))
+            )
+            eid += 1
+    # sentinel far in the future pushes the watermark past all timeouts
+    rows.append((eid, 99, base + dt.timedelta(days=2)))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    src = str(tmp_path / "src")
+    ev.filter(F.col("ts") < base + dt.timedelta(hours=1)).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    ev.filter(F.col("ts") >= base + dt.timedelta(hours=1)).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark_delay="1 minute")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_all = {
+        (r["user_id"], r["session_id"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    batch_closed = {
+        (r["user_id"], r["session_id"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in closed_sessions_batch(ev, gap_minutes=30).collect()
+    }
+    assert got <= batch_all          # nothing fabricated
+    assert batch_closed <= got       # every provably-closed session emitted
+    # the 4 users' first sessions are closed by the 2h gap: 3 events each
+    assert sum(1 for g in got if g[2] == 3) >= 4
