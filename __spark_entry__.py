@@ -590,6 +590,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide) — each event lands
+    in two windows; the oracle reproduces the epoch-aligned window starts."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -701,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
+        "events_sliding": q_events_sliding,
         "timestamp_injection": q_timestamp_injection,
         "media_feature_stats": q_media_features,
         "media_frame_sample": q_media_frames,
@@ -1044,6 +1067,16 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn FROM (
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+""",
+        "events_sliding": """
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS ws
+  FROM events, (SELECT unnest([0, 1]) AS k) k
+)
+GROUP BY 1, 2
 """,
         "sessionization": f"""
 WITH brk AS (
