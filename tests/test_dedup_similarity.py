@@ -180,6 +180,43 @@ def test_lsh_topk_high_recall_on_near_vectors(spark, vectors):
     assert len(got & {1, 2, 3, 4}) >= 3
 
 
+def test_lsh_bucket_column_matches_driver_side(spark):
+    """The integer-quantized bucket function must agree bit-for-bit between
+    the Spark column expression and the driver-side Python — the invariant
+    the DuckDB oracle (a third implementation) also relies on."""
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 12).astype(np.float32)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.int_hyperplanes(12, 9)
+    got = {r["vec_id"]: r["bucket"]
+           for r in similarity.with_lsh_bucket(df, planes).collect()}
+    want = {i: similarity.query_bucket(v, planes) for i, v in rows}
+    assert got == want
+
+
+def test_shingle_stream_equals_array_shingles(spark):
+    """posexplode+lead stream must produce the same distinct shingle sets
+    as the array-HOF formulation (incl. short docs)."""
+    rows = [
+        (1, "a b c d e a b c"),
+        (2, "x"), (3, ""), (4, "p q"),
+        (5, "one two three two three one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_arrays = {
+        r["id"]: set(r["shingles"])
+        for r in dedup.with_shingles(df, "text", "doc_id").collect()
+    }
+    via_stream = {}
+    for r in dedup.shingle_stream(df, "text", "doc_id").collect():
+        via_stream.setdefault(r["id"], set()).add(r["s"])
+    for i, want in via_arrays.items():
+        assert via_stream.get(i, set()) == want
+
+
 def test_ivf_topk_recall_and_pruning(spark, vectors, tmp_path):
     """IVF: nearest-centroid partitioning + nprobe probing recovers the
     tight neighbors; the probe reads only the probed partitions."""
