@@ -168,10 +168,15 @@ def main() -> None:
         reader.search(BM25_QUERY_SET[0][0], k=10).collect()
         extras["query_dataframe_ms"] = round((time.monotonic() - t1) * 1000, 1)
 
-        # --- driver-contract slice over the sf-dir tables
+        # --- driver-contract slice over the sf-dir tables.
+        # Two rounds per query, reporting the min (steady state): the first
+        # run pays whole-stage-codegen compilation + JIT for that query's
+        # generated classes, which on this intermittently-contended host
+        # varies up to ~2.5x run-to-run. Cold times are kept in extras.
         import __spark_entry__ as entrymod
 
         qs = entrymod.queries()
+        cold: dict[str, float] = {}
         for name in [
             "bm25_topk_or",
             "minhash_lsh_pairs",
@@ -190,9 +195,14 @@ def main() -> None:
             "events_hourly",
             "latest_wins",
         ]:
-            t1 = time.monotonic()
-            qs[name](spark, sf_dir).collect()
-            timings[name] = round(time.monotonic() - t1, 3)
+            samples = []
+            for _ in range(2):
+                t1 = time.monotonic()
+                qs[name](spark, sf_dir).collect()
+                samples.append(time.monotonic() - t1)
+            cold[name] = round(samples[0], 3)
+            timings[name] = round(min(samples), 3)
+        extras["cold_times"] = cold
     finally:
         shutil.rmtree(work, ignore_errors=True)
         idxroot = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes")
