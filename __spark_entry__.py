@@ -192,6 +192,12 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.quality_score(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.tfidf_top_terms(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -701,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality,
         "doc_fingerprint": q_fingerprint,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -906,6 +913,24 @@ FROM documents
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct({toks})), ' '))
   AS fingerprint
 FROM documents
+""",
+        "tfidf_top_terms": f"""
+WITH tf AS (
+  SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT id, term, tfidf, rank FROM (
+  SELECT tf.id, tf.term,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.id
+           ORDER BY round(tf.tf * ln(n.n_docs / dfreq.df), 6) DESC,
+                    tf.term ASC) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+) WHERE rank <= 3
 """,
         "dedup_exact": """
 SELECT sha256(text) AS digest, min(doc_id)::BIGINT AS keep_id,

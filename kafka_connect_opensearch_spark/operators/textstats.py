@@ -99,6 +99,39 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df, text_col: str, id_col: str, k: int = 3
+):
+    """Per-doc keyword extraction: top-k terms by tf·idf (idf = ln(N/df)),
+    deterministic tie-break (score desc, term asc). One exploded tf pass,
+    one df aggregation joined back, one per-doc window top-k — all
+    shuffles keyed (term / id), no driver materialization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalized document fingerprint: md5 over the sorted distinct token
     set (case/punct/order-insensitive content identity — catches reordered
