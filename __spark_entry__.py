@@ -202,6 +202,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length distribution: exact interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`), counts, means."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -708,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "doc_fingerprint": q_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_length_stats": q_corpus_length_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -931,6 +948,13 @@ SELECT id, term, tfidf, rank FROM (
                     tf.term ASC) AS rank
   FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
 ) WHERE rank <= 3
+""",
+        "corpus_length_stats": """
+SELECT lang, count(*)::BIGINT AS n,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "dedup_exact": """
 SELECT sha256(text) AS digest, min(doc_id)::BIGINT AS keep_id,
