@@ -154,6 +154,26 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                                text_col="text").orderBy("doc_id")
 
 
+def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-after-rank: BM25 top-k doc_ids join back to the source
+    table for stored fields (the index stores identity + stats, never a
+    second copy of 100 TB of content — fetch is a keyed join against the
+    source, broadcast from the k-row side)."""
+    reader = _get_index(spark, sf_dir)
+    hits = reader.search(BM25_QUERY, k=10, mode="or")
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
 def q_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _get_index(spark, sf_dir)
     return spark.createDataFrame([(reader.doc_count(),)], "n long")
@@ -716,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_and": _match_count("and"),
         "phrase_match": q_phrase_match,
         "search_facets": q_search_facets,
+        "search_fetch": q_search_fetch,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -888,6 +909,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": _bm25_bool_sql(),
         "match_count_or": _match_count_sql("or"),
         "match_count_and": _match_count_sql("and"),
+        "search_fetch": f"""
+WITH hits AS ({_bm25_sql("or")})
+SELECT d.doc_id, h.score, d.lang, d.source, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""",
         "search_facets": f"""
 SELECT lang, source, count(*)::BIGINT AS n
 FROM documents
