@@ -154,6 +154,24 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                                text_col="text").orderBy("doc_id")
 
 
+def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE positional phrase match: per-(term,doc) token positions from
+    the positional store (operators/positions.py), consecutive-position
+    intersection — no source-table rescan, unlike q_phrase_match's
+    verify-against-text path. Same oracle as phrase_match."""
+    from kafka_connect_opensearch_spark.operators import positions as P
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    pos_dir = os.path.join(_INDEX_ROOT, f"positions_{tag}")
+    if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
+        cfg = EngineConfig(shuffle_partitions=8)
+        P.build_positions(
+            spark, _read(spark, sf_dir, "documents"), pos_dir, cfg,
+            content_col="text", doc_id_col="doc_id",
+        )
+    return P.phrase_match_docs(spark, pos_dir, PHRASE)
+
+
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-after-rank: BM25 top-k doc_ids join back to the source
     table for stored fields (the index stores identity + stats, never a
@@ -735,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_or": _match_count("or"),
         "match_count_and": _match_count("and"),
         "phrase_match": q_phrase_match,
+        "phrase_match_positional": q_phrase_positional,
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
         "doc_count": q_doc_count,
@@ -925,6 +944,12 @@ WHERE doc_id IN (
 GROUP BY lang, source ORDER BY lang, source
 """,
         "phrase_match": f"""
+SELECT doc_id FROM documents
+WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
+               ' {PHRASE} ')
+ORDER BY doc_id
+""",
+        "phrase_match_positional": f"""
 SELECT doc_id FROM documents
 WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
                ' {PHRASE} ')

@@ -76,3 +76,40 @@ def test_merge_postings_sums_duplicate_ids():
 def test_merge_postings_empty():
     ids, tfs = merge_postings([])
     assert ids.size == 0 and tfs.size == 0
+
+
+def test_positions_store_phrase_match(spark, tmp_path):
+    """Positional store: build → phrase/single/missing-term queries match
+    a direct token-adjacency reference over the same docs."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_opensearch_spark.config import EngineConfig
+    from kafka_connect_opensearch_spark.operators import positions as P
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta alpha beta gamma alpha"),
+        (3, "gamma beta alpha"),
+        (4, "alpha, beta! gamma?"),       # punctuation must not break it
+        (5, "alpha alpha alpha"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pos")
+    P.build_positions(spark, docs, d, EngineConfig(shuffle_partitions=2),
+                      content_col="text", doc_id_col="doc_id")
+    got = sorted(r["doc_id"]
+                 for r in P.phrase_match_docs(spark, d, "alpha beta").collect())
+    assert got == [1, 2, 4]
+    got3 = sorted(
+        r["doc_id"]
+        for r in P.phrase_match_docs(spark, d, "alpha beta gamma").collect()
+    )
+    assert got3 == [1, 2, 4]  # doc 2: "... alpha beta gamma ..." at pos 1-3
+    rep = sorted(r["doc_id"]
+                 for r in P.phrase_match_docs(spark, d, "alpha alpha").collect())
+    assert rep == [5]
+    assert P.phrase_match_docs(spark, d, "nosuch term").count() == 0
+    single = sorted(r["doc_id"]
+                    for r in P.phrase_match_docs(spark, d, "gamma").collect())
+    assert single == [1, 2, 3, 4]
