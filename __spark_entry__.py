@@ -161,6 +161,15 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-against-text path. Same oracle as phrase_match."""
     from kafka_connect_opensearch_spark.operators import positions as P
 
+    return P.phrase_match_docs(spark, _positions_dir(spark, sf_dir), PHRASE)
+
+
+NEAR_A, NEAR_B, NEAR_SLOP = "hash", "window", 3
+
+
+def _positions_dir(spark: SparkSession, sf_dir: str) -> str:
+    from kafka_connect_opensearch_spark.operators import positions as P
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     pos_dir = os.path.join(_INDEX_ROOT, f"positions_{tag}")
     if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
@@ -169,7 +178,17 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, _read(spark, sf_dir, "documents"), pos_dir, cfg,
             content_col="text", doc_id_col="doc_id",
         )
-    return P.phrase_match_docs(spark, pos_dir, PHRASE)
+    return pos_dir
+
+
+def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/slop) query over the positional store: two terms
+    within NEAR_SLOP token positions."""
+    from kafka_connect_opensearch_spark.operators import positions as P
+
+    return P.near_match_docs(
+        spark, _positions_dir(spark, sf_dir), NEAR_A, NEAR_B, NEAR_SLOP
+    ).orderBy("doc_id")
 
 
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_and": _match_count("and"),
         "phrase_match": q_phrase_match,
         "phrase_match_positional": q_phrase_positional,
+        "near_match": q_near_match,
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
         "doc_count": q_doc_count,
@@ -928,6 +948,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": _bm25_bool_sql(),
         "match_count_or": _match_count_sql("or"),
         "match_count_and": _match_count_sql("and"),
+        "near_match": f"""
+WITH p AS (
+  SELECT doc_id, t AS term, pos FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS t,
+           generate_subscripts({_toks_sql('text')}, 1) AS pos
+    FROM documents
+  ) WHERE t IN ('{NEAR_A}', '{NEAR_B}')
+)
+SELECT DISTINCT a.doc_id
+FROM p a JOIN p b USING (doc_id)
+WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
+  AND abs(a.pos - b.pos) <= {NEAR_SLOP}
+ORDER BY doc_id
+""",
         "search_fetch": f"""
 WITH hits AS ({_bm25_sql("or")})
 SELECT d.doc_id, h.score, d.lang, d.source, d.n_chars

@@ -155,6 +155,44 @@ def _decode_term_rows(pdf) -> dict[int, np.ndarray]:
     return out
 
 
+def near_match_docs(
+    spark: SparkSession,
+    positions_dir: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+) -> DataFrame:
+    """Proximity (NEAR) query: docs where ``term_a`` and ``term_b`` occur
+    within ``slop`` token positions of each other. Same read shape as
+    phrase matching: only the two terms' rows are decoded."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(positions_dir, format="parquet")
+    tbl = dset.to_table(
+        filter=pads.field("term").isin(sorted({term_a, term_b}))
+    )
+    pdf = tbl.to_pandas()
+    pa_pos = _decode_term_rows(pdf[pdf["term"] == term_a])
+    pb_pos = _decode_term_rows(pdf[pdf["term"] == term_b])
+    hits = []
+    for d in set(pa_pos) & set(pb_pos):
+        a, b = pa_pos[d], pb_pos[d]
+        # min |a_i - b_j| over two sorted arrays via a merge walk
+        idx = np.searchsorted(b, a)
+        best = np.inf
+        for i, p in enumerate(a):
+            j = idx[i]
+            if j < b.size:
+                best = min(best, abs(int(b[j]) - int(p)))
+            if j > 0:
+                best = min(best, abs(int(p) - int(b[j - 1])))
+        if best <= slop:
+            hits.append((d,))
+    if not hits:
+        return spark.createDataFrame([], "doc_id long")
+    return spark.createDataFrame(sorted(hits), "doc_id long")
+
+
 def phrase_match_docs(
     spark: SparkSession, positions_dir: str, phrase: str
 ) -> DataFrame:
