@@ -181,6 +181,18 @@ def _positions_dir(spark: SparkSession, sf_dir: str) -> str:
     return pos_dir
 
 
+def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-BM25 ranking: the phrase is one synthetic term (tf = phrase
+    occurrence count from the positional store, df = matching-doc count);
+    dl/avgdl/N from the segment store."""
+    from kafka_connect_opensearch_spark.operators import positions as P
+
+    reader = _get_index(spark, sf_dir)
+    return P.phrase_score_topk(
+        spark, _positions_dir(spark, sf_dir), reader, PHRASE, k=10
+    )
+
+
 def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity (NEAR/slop) query over the positional store: two terms
     within NEAR_SLOP token positions."""
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_match_positional": q_phrase_positional,
         "near_match": q_near_match,
+        "phrase_bm25_topk": q_phrase_bm25,
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
         "doc_count": q_doc_count,
@@ -948,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": _bm25_bool_sql(),
         "match_count_or": _match_count_sql("or"),
         "match_count_and": _match_count_sql("and"),
+        "phrase_bm25_topk": _phrase_bm25_sql(),
         "near_match": f"""
 WITH p AS (
   SELECT doc_id, t AS term, pos FROM (
@@ -1341,6 +1355,43 @@ SELECT c.id_a, c.id_b,
        {_jaccard_expr("sa.shingles", "sb.shingles")} AS jaccard
 FROM cands c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
 WHERE {_jaccard_expr("sa.shingles", "sb.shingles")} >= {JACCARD_THRESHOLD}
+"""
+
+
+def _phrase_bm25_sql() -> str:
+    terms = PHRASE.split()
+    assert len(terms) == 2  # chain-join written for the 2-term contract case
+    a, b = terms
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, t AS term, pos FROM (
+    SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos
+    FROM docs
+  ) WHERE t IN ('{a}', '{b}')
+),
+occ AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS tf
+  FROM p a JOIN p b2 USING (doc_id)
+  WHERE a.term = '{a}' AND b2.term = '{b}' AND b2.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl FROM docs
+),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM occ)
+SELECT doc_id, score FROM (
+  SELECT o.doc_id,
+         round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * o.tf * ({K1} + 1.0)
+               / (o.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)),
+               4) AS score
+  FROM occ o
+  JOIN (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs) dl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN dfv d
+) ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 

@@ -155,6 +155,91 @@ def _decode_term_rows(pdf) -> dict[int, np.ndarray]:
     return out
 
 
+def phrase_occurrences(
+    positions_dir: str, phrase: str
+) -> dict[int, int]:
+    """doc_id → number of phrase occurrences (consecutive-position chains;
+    overlapping occurrences count, matching the SQL chain-join oracle)."""
+    import pyarrow.dataset as pads
+
+    terms = tokenize_py(phrase)
+    if not terms:
+        return {}
+    dset = pads.dataset(positions_dir, format="parquet")
+    tbl = dset.to_table(filter=pads.field("term").isin(sorted(set(terms))))
+    pdf = tbl.to_pandas()
+    per_term = {
+        t: _decode_term_rows(pdf[pdf["term"] == t]) for t in set(terms)
+    }
+    if any(not per_term[t] for t in terms):
+        return {}
+    cand = set(per_term[terms[0]])
+    for t in terms[1:]:
+        cand &= set(per_term[t])
+    out: dict[int, int] = {}
+    for d in cand:
+        live = per_term[terms[0]][d]
+        for t in terms[1:]:
+            live = np.intersect1d(live + 1, per_term[t][d],
+                                  assume_unique=True)
+            if live.size == 0:
+                break
+        if live.size:
+            out[int(d)] = int(live.size)
+    return out
+
+
+def phrase_score_topk(
+    spark: SparkSession,
+    positions_dir: str,
+    reader,
+    phrase: str,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Phrase-BM25 ranking: the phrase acts as one synthetic term whose
+    per-doc tf is its occurrence count and whose df is the count of
+    matching docs; dl/avgdl/N come from the segment store's stats. The
+    positional store supplies tf without touching source text; dl for the
+    (small) candidate set is a keyed lookup against the index's docs
+    table."""
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        bm25_idf,
+        bm25_tf_weight,
+    )
+
+    occ = phrase_occurrences(positions_dir, phrase)
+    if not occ:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs, avgdl = reader._stats  # noqa: SLF001
+    df = len(occ)
+    idf = bm25_idf(n_docs, df)
+    cand = sorted(occ)
+    dl_rows = (
+        reader.docs()
+        .filter(F.col("doc_id").isin(cand))
+        .select("doc_id", "dl")
+        .collect()
+    )
+    dl = {r["doc_id"]: r["dl"] for r in dl_rows}
+    scored = []
+    for d in cand:
+        w = idf * float(
+            bm25_tf_weight(
+                np.array([float(occ[d])]), np.array([float(dl[d])]),
+                avgdl, reader.k1, reader.b,
+            )[0]
+        )
+        scored.append((d, round(w, round_to)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    import pandas as pd
+
+    pdf = pd.DataFrame(scored[:k], columns=["doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    return spark.createDataFrame(pdf, "doc_id long, score double")
+
+
 def near_match_docs(
     spark: SparkSession,
     positions_dir: str,
