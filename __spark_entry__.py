@@ -1118,8 +1118,11 @@ SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
 SELECT r.route, coalesce(c.n, 0)::BIGINT AS n
 FROM (VALUES ('delete'), ('dlq'), ('index')) r(route)
 LEFT JOIN (
-  SELECT CASE WHEN event_id IS NULL THEN 'dlq'
-              WHEN event_type = 'error' THEN 'delete'
+  -- precedence mirrors route_records: tombstone checked BEFORE null key
+  -- (a null-key tombstone is silently dropped, never DLQ'd)
+  SELECT CASE WHEN event_type = 'error'
+                THEN CASE WHEN event_id IS NULL THEN 'drop' ELSE 'delete' END
+              WHEN event_id IS NULL THEN 'dlq'
               ELSE 'index' END AS route, count(*)::BIGINT AS n
   FROM events GROUP BY 1
 ) c ON r.route = c.route

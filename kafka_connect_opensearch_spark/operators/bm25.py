@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_opensearch_spark.config import EngineConfig
-from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+from kafka_connect_opensearch_spark.functions.analysis import (
+    tokenize_expr,
+    tokenize_py,
+)
 from kafka_connect_opensearch_spark.operators import postings as codec
 from kafka_connect_opensearch_spark.operators.segments import SegmentStore
 
@@ -298,10 +301,7 @@ class IndexReader:
                 "_joined_toks",
                 F.concat(
                     F.lit(" "),
-                    F.concat_ws(" ", F.expr(
-                        f"regexp_extract_all(lower({text_col}), "
-                        "'[a-z0-9_]+', 0)"
-                    )),
+                    F.concat_ws(" ", F.expr(tokenize_expr(text_col))),
                     F.lit(" "),
                 ),
             )

@@ -163,15 +163,18 @@ def materialize_lsh_buckets(
 
 
 def _hamming_neighbors(bucket: int, n_planes: int, radius: int) -> list[int]:
+    """All buckets within Hamming distance ``radius`` of ``bucket`` —
+    arbitrary radius (callers asking for radius ≥ 3 get exactly that,
+    not a silent radius-2 cap)."""
+    import itertools
+
     out = [bucket]
-    if radius >= 1:
-        out += [bucket ^ (1 << i) for i in range(n_planes)]
-    if radius >= 2:
-        out += [
-            bucket ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    for r in range(1, radius + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            out.append(bucket ^ m)
     return out
 
 

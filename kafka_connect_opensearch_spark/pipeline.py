@@ -53,14 +53,19 @@ def ingest(
     )
 
     config = config or EngineConfig()
+    payload_col = None
     if payload_cols is not None:
         source = preprocess_payload(
             source, payload_cols, config.compact_map_entries
         )
         source = to_json_payload(source, payload_cols, out=content_col)
+        # the serialized JSON body is the payload the malformed classifier
+        # grades (mapper_parsing / strict_dynamic_mapping checks) — without
+        # this, schema'd-payload ingest silently skipped those two classes
+        payload_col = content_col
     batch = convert_records(
         source, id_cols, content_col, version_col, config,
-        mapping_fields=mapping_fields,
+        payload_col=payload_col, mapping_fields=mapping_fields,
     )
 
     dlq_rows = 0

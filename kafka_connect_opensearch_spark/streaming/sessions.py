@@ -125,9 +125,14 @@ def sessionize_stream(
                     out.append((user_id, sid, n, start_us, end_us))
                     sid, n, start_us = sid + 1, 0, None
                 if n == 0:
-                    start_us = t
+                    start_us, end_us = t, t
+                else:
+                    # late-but-within-watermark events from a later
+                    # micro-batch may carry t < end_us: session bounds only
+                    # widen (the gap check above uses the true max end)
+                    start_us = min(start_us, t)
+                    end_us = max(end_us, t)
                 n += 1
-                end_us = t
             state.update((int(sid), int(n), int(start_us), int(end_us)))
             state.setTimeoutTimestamp(
                 int(end_us) // 1000 + gap_s * 1000

@@ -116,6 +116,29 @@ def test_add_timestamp_first_matching_field(spark):
     assert rows == {"x": "2024-01-02", "y": "2024-05-05"}
 
 
+def test_pipeline_ingest_payload_mapping_validation(spark, tmp_path):
+    """The ingest() path grades the serialized payload against the mapping:
+    a record whose JSON body carries an unmapped field is DLQ'd
+    (strict_dynamic_mapping), not silently indexed — ADVICE r2 medium."""
+    rows = [("r", "a.py", "c1", 1, None), ("r", "b.py", "c1", 2, 5)]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, a int, zzz int"
+    )
+    cfg = EngineConfig(
+        num_segments=1, salt_partitions=2,
+        behavior_on_null_values=BehaviorOnNullValues.IGNORE,
+        behavior_on_malformed_docs=BehaviorOnMalformedDoc.IGNORE,
+    )
+    d = str(tmp_path / "idx")
+    res = ingest(
+        spark, src, d, cfg, payload_cols=["a", "zzz"], mapping_fields=("a",)
+    )
+    # to_json omits null fields: row a → {"a":1} (mapped), row b →
+    # {"a":2,"zzz":5} (unmapped field zzz) → DLQ
+    assert res.metrics.docs_indexed == 1
+    assert res.dlq_rows == 1
+
+
 def test_pipeline_ingest_schema_payload(spark, tmp_path):
     """DataConverter.convertRecord end-to-end (DataConverter.java:116-200):
     a schema'd payload goes preprocess (Decimal→double, MAP→kv-structs) →
