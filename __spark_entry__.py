@@ -73,12 +73,24 @@ _INDEX_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes
 def _get_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     idx_dir = os.path.join(_INDEX_ROOT, f"documents_{tag}")
-    cfg = EngineConfig(num_segments=2, salt_partitions=4, shuffle_partitions=8)
+    cfg = EngineConfig(
+        num_segments=2, salt_partitions=4, shuffle_partitions=8,
+        index_positions=True,  # phrase/NEAR/phrase-BM25 run off the index
+    )
     docs = _read(spark, sf_dir, "documents")
     build_index(
         spark, docs, idx_dir, cfg, content_col="text", doc_id_col="doc_id"
     )  # resume=True: committed batches are skipped on rebuild
     return IndexReader(spark, idx_dir)
+
+
+def _get_positions(spark: SparkSession, sf_dir: str):
+    from kafka_connect_opensearch_spark.operators.positions import (
+        PositionsReader,
+    )
+
+    reader = _get_index(spark, sf_dir)  # ensures the index exists
+    return PositionsReader(spark, reader.store.index_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -156,51 +168,31 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE positional phrase match: per-(term,doc) token positions from
-    the positional store (operators/positions.py), consecutive-position
-    intersection — no source-table rescan, unlike q_phrase_match's
-    verify-against-text path. Same oracle as phrase_match."""
-    from kafka_connect_opensearch_spark.operators import positions as P
-
-    return P.phrase_match_docs(spark, _positions_dir(spark, sf_dir), PHRASE)
+    the index's per-segment positional store (operators/positions.py) —
+    consecutive-position intersection, no source-table rescan, and
+    manifest-driven (merges/deletes are immediately visible). Same oracle
+    as phrase_match."""
+    return _get_positions(spark, sf_dir).phrase_docs(PHRASE).orderBy("doc_id")
 
 
 NEAR_A, NEAR_B, NEAR_SLOP = "hash", "window", 3
 
 
-def _positions_dir(spark: SparkSession, sf_dir: str) -> str:
-    from kafka_connect_opensearch_spark.operators import positions as P
-
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    pos_dir = os.path.join(_INDEX_ROOT, f"positions_{tag}")
-    if not os.path.exists(os.path.join(pos_dir, "_SUCCESS")):
-        cfg = EngineConfig(shuffle_partitions=8)
-        P.build_positions(
-            spark, _read(spark, sf_dir, "documents"), pos_dir, cfg,
-            content_col="text", doc_id_col="doc_id",
-        )
-    return pos_dir
-
-
 def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-BM25 ranking: the phrase is one synthetic term (tf = phrase
     occurrence count from the positional store, df = matching-doc count);
-    dl/avgdl/N from the segment store."""
-    from kafka_connect_opensearch_spark.operators import positions as P
-
-    reader = _get_index(spark, sf_dir)
-    return P.phrase_score_topk(
-        spark, _positions_dir(spark, sf_dir), reader, PHRASE, k=10
-    )
+    dl from the postings store, avgdl/N from segment stats."""
+    return _get_positions(spark, sf_dir).phrase_topk(PHRASE, k=10)
 
 
 def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity (NEAR/slop) query over the positional store: two terms
     within NEAR_SLOP token positions."""
-    from kafka_connect_opensearch_spark.operators import positions as P
-
-    return P.near_match_docs(
-        spark, _positions_dir(spark, sf_dir), NEAR_A, NEAR_B, NEAR_SLOP
-    ).orderBy("doc_id")
+    return (
+        _get_positions(spark, sf_dir)
+        .near_docs(NEAR_A, NEAR_B, NEAR_SLOP)
+        .orderBy("doc_id")
+    )
 
 
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,20 +374,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_STRIDE = 37
+IVF_K = 64
 IVF_NPROBE = 4
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, the second scale path beside sign-LSH: deterministic
-    sampled centroids, corpus materialized ONCE partitioned by nearest
-    centroid, probe reranks only the nprobe nearest partitions."""
+    FIXED-k sampled centroids (k independent of corpus size — the
+    driver-side centroid list is k rows at any scale), corpus materialized
+    ONCE partitioned by nearest centroid, probe reranks only the nprobe
+    nearest partitions."""
     emb = _read(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") > 0)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    cents = similarity.ivf_centroids(corpus, stride=IVF_STRIDE)
+    cents = similarity.ivf_centroids(corpus, k=IVF_K)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    table_dir = os.path.join(_INDEX_ROOT, f"ivf_{tag}_s{IVF_STRIDE}")
+    table_dir = os.path.join(_INDEX_ROOT, f"ivf_{tag}_k{IVF_K}")
     if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         similarity.materialize_ivf(corpus, cents, table_dir)
     centroid_rows = [
@@ -1481,8 +1475,13 @@ def _ivf_sql() -> str:
     sim = "round(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6)"
     return f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS centroid
-  FROM embeddings WHERE vec_id > 0 AND vec_id % {IVF_STRIDE} = 1
+  -- fixed-k deterministic sample: k smallest md5-derived id hashes
+  -- (identical integer math to similarity.ivf_centroids)
+  SELECT centroid_id, centroid FROM (
+    SELECT vec_id AS centroid_id, embedding AS centroid,
+           ('0x' || substr(md5('ivf:' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM embeddings WHERE vec_id > 0
+  ) ORDER BY h, centroid_id LIMIT {IVF_K}
 ),
 assign AS (
   SELECT vec_id, embedding, centroid_id FROM (

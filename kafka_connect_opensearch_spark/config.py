@@ -124,6 +124,11 @@ class EngineConfig:
     auto_merge: bool = False         # run tiered merge after each ingest
     merge_factor: int = 4            # segments per tier before a merge trips
     block_size: int = POSTINGS_BLOCK_SIZE
+    # --- positional index (Lucene IndexOptions...AND_POSITIONS analog) ---
+    # When on, every segment gets a positions.parquet beside its postings
+    # (phrase/NEAR/phrase-BM25 queries); build cost ≈ one extra tokenized
+    # pass + a corpus-sized store, so it is a per-index mapping choice.
+    index_positions: bool = False
     # --- BM25 ---
     k1: float = BM25_K1
     b: float = BM25_B

@@ -196,6 +196,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    max_broadcast_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
     Jaccard verify on candidates → pairs ≥ threshold.
@@ -206,34 +207,39 @@ def minhash_lsh_dedup(
     rows_per_band = num_hashes // bands
     stream = shingle_stream(df, text_col, id_col, n).persist()
     sigs = signatures_from_stream(stream, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    # Verify step: semi-join the (small) candidate id set against the
-    # shingle stream first and assemble per-doc shingle ARRAYS only for
-    # those ids, then broadcast them into the pair frame — full shingle
-    # arrays are never built corpus-wide nor shuffled. At a scale where
-    # the candidate set itself outgrows broadcast, drop the broadcast
-    # hints and the same plan degrades to shuffle joins keyed by id
-    # (still linear; never all-pairs).
+    # Candidate pairs are persisted and COUNTED before the verify plan is
+    # built: the broadcast of candidate shingle arrays is a measured
+    # decision, not a hard hint — a pathological corpus (one huge near-dup
+    # cluster) can make the candidate set arbitrarily large, and an
+    # unconditional F.broadcast would OOM the driver. Above the cap the
+    # same plan degrades to shuffle joins keyed by id (still linear in
+    # candidates; never all-pairs).
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).persist()
+    use_broadcast = cands.count() <= max_broadcast_pairs
+    hint = F.broadcast if use_broadcast else (lambda d: d)
+    # Verify step: semi-join the candidate id set against the shingle
+    # stream first and assemble per-doc shingle ARRAYS only for those ids —
+    # full shingle arrays are never built corpus-wide.
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
     sh_c = (
-        stream.join(F.broadcast(cand_ids), "id", "left_semi")
+        stream.join(hint(cand_ids), "id", "left_semi")
         .groupBy("id")
         .agg(F.collect_list("s").alias("shingles"))
     )
     j = (
         cands.join(
-            F.broadcast(
+            hint(
                 sh_c.select(F.col("id").alias("id_a"),
                             F.col("shingles").alias("sh_a"))
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
+            hint(
                 sh_c.select(F.col("id").alias("id_b"),
                             F.col("shingles").alias("sh_b"))
             ),
@@ -249,7 +255,12 @@ def minhash_lsh_dedup(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold, without the cartesian
     product: an inverted index on shingles yields per-pair intersection
@@ -259,12 +270,27 @@ def ngram_jaccard_pairs(
     threshold > 0. Scale shape: one shuffle keyed by shingle; cost is
     Σ_s df(s)² over shared shingles — near-dup-pair-bounded on real
     corpora, degenerate only for a shingle shared by a large fraction of
-    docs (stopword-run shingles; cap df or pre-filter those at 100 TB).
-    MinHash-LSH above stays the approximate scale path."""
+    docs (stopword-run shingles).
+
+    ``max_shingle_df`` is the 100 TB guard for that degenerate case:
+    shingles with document frequency above the cap are dropped from BOTH
+    the intersection counts and the per-doc set sizes, making the result
+    the exact Jaccard over the reduced (informative) shingle space — the
+    standard hot-token cap in dedup pipelines. None (default) keeps the
+    full-space exact semantics. MinHash-LSH above stays the approximate
+    scale path."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are "
                          "not enumerated)")
     stream = shingle_stream(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        keep = (
+            stream.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        stream = stream.join(keep, "s", "left_semi")
     sizes = stream.groupBy("id").agg(F.count("*").alias("sz"))
     a = stream.select(F.col("id").alias("id_a"), "s")
     b = stream.select(F.col("id").alias("id_b"), "s")

@@ -443,6 +443,19 @@ def prepare_documents(
     )
 
 
+def _index_meta(config: EngineConfig) -> dict:
+    return {
+        "analyzer": "lowercase_word",
+        "k1": config.k1,
+        "b": config.b,
+        "block_size": config.block_size,
+        "num_segments": config.num_segments,
+        # per-index mapping flag: segments carry positions.parquet
+        # (Lucene IndexOptions.DOCS_AND_FREQS_AND_POSITIONS analog)
+        "positions": config.index_positions,
+    }
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -463,15 +476,7 @@ def build_index(
     config = config or EngineConfig()
     t0 = time.monotonic()
     store = SegmentStore(index_dir)
-    store.create_if_absent(
-        {
-            "analyzer": "lowercase_word",
-            "k1": config.k1,
-            "b": config.b,
-            "block_size": config.block_size,
-            "num_segments": config.num_segments,
-        }
-    )
+    store.create_if_absent(_index_meta(config))
     metrics = BuildMetrics()
     committed = store.committed_batches() if resume else {}
 
@@ -616,15 +621,7 @@ def build_index_bulk(
     config = config or EngineConfig()
     t0 = time.monotonic()
     store = SegmentStore(index_dir)
-    store.create_if_absent(
-        {
-            "analyzer": "lowercase_word",
-            "k1": config.k1,
-            "b": config.b,
-            "block_size": config.block_size,
-            "num_segments": config.num_segments,
-        }
-    )
+    store.create_if_absent(_index_meta(config))
     bulk_id = f"bulk_{tag}"
     if bulk_id in store.committed_batches():
         m = BuildMetrics(batches_skipped=config.num_segments)
@@ -709,6 +706,13 @@ def _build_segments_pipeline(
     ).write.partitionBy("seg").mode("overwrite").parquet(
         f"{root}/postings.parquet"
     )
+
+    if config.index_positions:
+        from kafka_connect_opensearch_spark.operators import positions as pos
+
+        pos.build_segment_positions(analyzed, config).write.partitionBy(
+            "seg"
+        ).mode("overwrite").parquet(f"{root}/positions.parquet")
 
     # per-segment stats: two small aggregations over the written files
     dstats = {
@@ -797,6 +801,13 @@ def _build_one_segment(
     # prune term lookups); a repartitionByRange here would add a sampling
     # pass that recomputes the whole pipeline
     post.write.mode("overwrite").parquet(f"{seg_path}/postings.parquet")
+
+    if config.index_positions:
+        from kafka_connect_opensearch_spark.operators import positions as pos
+
+        pos.build_segment_positions(analyzed, config, seg_name=seg_name).write.mode(
+            "overwrite"
+        ).parquet(f"{seg_path}/positions.parquet")
 
     dstat, pstat = doc_obs.get, post_obs.get
     meta = SegmentMeta(

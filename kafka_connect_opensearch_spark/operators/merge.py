@@ -213,6 +213,25 @@ def merge_segments(
     # already term-partitioned + sorted (see indexer._build_one_segment)
     post.write.mode("overwrite").parquet(f"{seg_path}/postings.parquet")
 
+    if store.meta().get("positions"):
+        # positions live in the same segments merges rewrite (Lucene
+        # contract): decode to per-doc blobs, keep the same survivors
+        # (latest-wins + deletes), re-pack for the merged segment. Blobs
+        # concatenate byte-for-byte — no position value is re-encoded.
+        from kafka_connect_opensearch_spark.operators import positions as pos
+
+        decoded_pos = pos.decode_positions_df(store.read_positions(spark, metas))
+        pos_survivors = decoded_pos.join(
+            winners.select("doc_id", "_segname"), ["doc_id", "_segname"],
+            "inner",
+        ).select("term", "doc_id", "n_pos", "pos_blob")
+        pos.repack_positions(pos_survivors, config).withColumn(
+            "seg", F.lit(seg_name)
+        ).select(
+            "term", "seg", "part", "n_docs",
+            "doc_ids", "pos_counts", "positions",
+        ).write.mode("overwrite").parquet(f"{seg_path}/positions.parquet")
+
     drow = (
         spark.read.parquet(f"{seg_path}/docs.parquet")
         .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))

@@ -1,28 +1,39 @@
-"""Positional index: per-(term, doc) token positions for TRUE phrase /
-proximity queries at the index level (no source-table rescan).
+"""Positional index under the segment lifecycle: per-(term, doc) token
+positions for TRUE phrase / proximity queries at the index level (no
+source-table rescan).
 
-Additive subsystem beside the frequency postings (postings.py): Lucene
-stores positions in the same postings files; here they are a separate
-parquet store so frequency-only queries never pay for them (column/file
-separation instead of Lucene's per-field flags).
+Lucene keeps positions inside the same segments merges rewrite
+(``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS``); here each segment gets a
+``positions.parquet`` beside its ``postings.parquet`` — built by the same
+build pipelines (classic per-segment and bulk/wave), committed by the
+same manifests, and rewritten by the same log-structured merges
+(latest-wins across generations + tombstone deletes) — so positional
+queries can never go stale against the frequency index. Enabled per
+index via ``EngineConfig.index_positions`` (the per-field positions
+flag of a Lucene mapping, re-cast per index).
 
-Storage rows — ``positions.parquet``, term-sorted within partitions so a
-query's ``term IN (...)`` prunes row groups:
+Storage rows, term-sorted within files so ``term IN (...)`` prunes row
+groups::
 
-    term string, n_docs long,
+    term string, seg string, part long, n_docs long,
     doc_ids binary     -- delta varints, reset per row
     pos_counts binary  -- varint positions-per-doc, aligned with doc_ids
     positions binary   -- delta varints, reset at each doc boundary
 
-One row per (shuffle partition, term): the doc-hash repartition makes
-rows doc-disjoint, so queries just decode every row of a term (≤ one per
-partition — the same union-of-segments shape as the postings read path).
-The pack is mapInArrow: tokens stay Arrow ListArrays, the only per-term
-Python is byte-slicing.
+``part`` is the pack partition (derived from the doc-hash repartition),
+so rows are **doc-disjoint across (seg, part) groups**: a doc's entries
+for every term live in exactly one group. Distributed phrase/NEAR
+intersection therefore runs per (seg, part) group with exact
+union-of-groups semantics — the per-shard phrase execution the reference
+delegates to OpenSearch ``_search``
+(helper/OpenSearchHelperClient.java:106-109).
 
-Scale: the positions store is ~Σ dl varints ≈ the tokenized corpus size;
-build is one scan + one doc-hash shuffle + one term shuffle; phrase
-queries read only the query terms' rows (pushdown pinned in tests).
+Query execution mirrors ``bm25.IndexReader.search``'s adaptive split:
+when the query terms' summed ``n_docs`` fits under ``local_threshold``
+the coordinator scores a pyarrow-filtered scan directly (tens of ms, no
+Spark job); heavier queries run ``groupBy(seg, part).applyInPandas``
+over only the query terms' rows. Both paths share the same numpy
+intersection functions, so results are identical.
 """
 
 from __future__ import annotations
@@ -30,148 +41,197 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_opensearch_spark.config import EngineConfig
-from kafka_connect_opensearch_spark.functions.analysis import tokenize, tokenize_py
+from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
 from kafka_connect_opensearch_spark.operators import postings as codec
-from kafka_connect_opensearch_spark.operators.indexer import prepare_identity
+from kafka_connect_opensearch_spark.operators.segments import SegmentStore
 
 POSITIONS_SCHEMA = (
-    "term string, n_docs long, doc_ids binary, pos_counts binary, "
-    "positions binary"
+    "term string, seg string, part long, n_docs long, doc_ids binary, "
+    "pos_counts binary, positions binary"
+)
+
+DECODED_POSITIONS_SCHEMA = (
+    "term string, _segname string, doc_id long, n_pos long, pos_blob binary"
 )
 
 
-def _pack_positions(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        if batch.num_rows == 0:
+# --------------------------------------------------------------------------
+# build: Arrow pack (shared by classic per-segment and bulk/wave pipelines)
+# --------------------------------------------------------------------------
+
+
+def _pack_group_arrow(doc_id_arr, tokens_arr):
+    """Core positions pack on Arrow arrays → [terms, n_docs, doc_ids,
+    pos_counts, positions] or None for an empty group. One
+    dictionary_encode + one lexsort; the only per-term Python is byte
+    slicing inside :func:`codec.varint_encode_grouped`."""
+    if len(doc_id_arr) == 0:
+        return None
+    la = tokens_arr
+    if isinstance(la, pa.ChunkedArray):  # pragma: no cover — RB cols are flat
+        la = la.combine_chunks()
+    flat = la.flatten()  # slice-safe (offsets may not start at 0)
+    if len(flat) == 0:
+        return None
+    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    doc_ids = doc_id_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_rep = np.repeat(doc_ids, counts)
+    # position of each occurrence within its doc
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = dic.dictionary
+    # stable sort: (term, doc) groups keep original (ascending) pos order
+    order = np.lexsort((doc_rep, codes))
+    codes_s, docs_s, pos_s = codes[order], doc_rep[order], pos[order]
+
+    term_change = np.empty(codes_s.size, dtype=bool)
+    term_change[0] = True
+    np.not_equal(codes_s[1:], codes_s[:-1], out=term_change[1:])
+    doc_change = term_change.copy()
+    np.logical_or(doc_change[1:], docs_s[1:] != docs_s[:-1], out=doc_change[1:])
+    term_starts = np.nonzero(term_change)[0]
+    doc_starts = np.nonzero(doc_change)[0]
+
+    # per-doc position deltas (reset at each doc boundary)
+    pos_deltas = pos_s.copy()
+    pos_deltas[1:] -= pos_s[:-1]
+    pos_deltas[doc_starts] = pos_s[doc_starts]
+    pos_bufs = codec.varint_encode_grouped(pos_deltas, term_starts)
+
+    # per-term doc lists (docs are sorted within a term by the lexsort)
+    first_docs = docs_s[doc_starts]
+    doc_ends = np.append(doc_starts[1:], codes_s.size)
+    occ_counts = doc_ends - doc_starts
+    term_of_doc = np.searchsorted(term_starts, doc_starts, side="right") - 1
+    tstart_of_doc = np.nonzero(
+        np.concatenate(([True], term_of_doc[1:] != term_of_doc[:-1]))
+    )[0]
+    doc_deltas = first_docs.copy()
+    doc_deltas[1:] -= first_docs[:-1]
+    doc_deltas[tstart_of_doc] = first_docs[tstart_of_doc]
+    docid_bufs = codec.varint_encode_grouped(doc_deltas, tstart_of_doc)
+    count_bufs = codec.varint_encode_grouped(occ_counts, tstart_of_doc)
+    n_docs_per_term = np.diff(np.append(tstart_of_doc, first_docs.size))
+
+    return [
+        terms.take(pa.array(codes_s[term_starts], type=pa.int64())).cast(
+            pa.string()
+        ),
+        pa.array(n_docs_per_term, type=pa.int64()),
+        pa.array(docid_bufs, type=pa.binary()),
+        pa.array(count_bufs, type=pa.binary()),
+        pa.array(pos_bufs, type=pa.binary()),
+    ]
+
+
+def _pack_positions_by_seg(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow: (seg, part, doc_id, tokens) batches → packed positions
+    rows. Each seg group within a batch packs independently; ``part`` is
+    constant per input partition (spark_partition_id of the doc-hash
+    spread) — the doc-disjointness key for distributed queries."""
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
-        tok_col = batch.column(1)
-        flat = tok_col.flatten()  # slice-safe (offsets may not start at 0)
-        if len(flat) == 0:
-            continue
-        offsets = tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offsets = offsets - offsets[0]
-        counts = np.diff(offsets)
-        doc_ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_rep = np.repeat(doc_ids, counts)
-        # position of each occurrence within its doc
-        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
-            offsets[:-1], counts
-        )
-        dic = flat.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        terms = dic.dictionary.to_pylist()
-        # stable sort: (term, doc) groups keep original (ascending) pos order
-        order = np.lexsort((doc_rep, codes))
-        codes_s, docs_s, pos_s = codes[order], doc_rep[order], pos[order]
-
-        term_change = np.empty(codes_s.size, dtype=bool)
-        term_change[0] = True
-        np.not_equal(codes_s[1:], codes_s[:-1], out=term_change[1:])
-        doc_change = term_change.copy()
-        np.logical_or(
-            doc_change[1:], docs_s[1:] != docs_s[:-1], out=doc_change[1:]
-        )
-        term_starts = np.nonzero(term_change)[0]
-        doc_starts = np.nonzero(doc_change)[0]
-
-        # per-doc position deltas (reset at each doc boundary)
-        pos_deltas = pos_s.copy()
-        pos_deltas[1:] -= pos_s[:-1]
-        pos_deltas[doc_starts] = pos_s[doc_starts]
-        pos_bufs = codec.varint_encode_grouped(pos_deltas, term_starts)
-
-        # per-term doc lists (docs are sorted within a term by the lexsort)
-        first_docs = docs_s[doc_starts]
-        # per-doc occurrence counts, grouped by term
-        doc_ends = np.append(doc_starts[1:], codes_s.size)
-        occ_counts = doc_ends - doc_starts
-        term_of_doc = np.searchsorted(term_starts, doc_starts, side="right") - 1
-        tstart_of_doc = np.nonzero(
-            np.concatenate(
-                ([True], term_of_doc[1:] != term_of_doc[:-1])
+        part = rb.column("part")[0].as_py()
+        segs = rb.column("seg")
+        for seg in pc.unique(segs):
+            sub = rb.filter(pc.equal(segs, seg))
+            out = _pack_group_arrow(sub.column("doc_id"), sub.column("tokens"))
+            if out is None:
+                continue
+            n = len(out[0])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out[0],
+                    pa.array([seg.as_py()] * n, type=pa.string()),
+                    pa.array([part] * n, type=pa.int64()),
+                    *out[1:],
+                ],
+                names=[
+                    "term", "seg", "part", "n_docs",
+                    "doc_ids", "pos_counts", "positions",
+                ],
             )
-        )[0]
-        doc_deltas = first_docs.copy()
-        doc_deltas[1:] -= first_docs[:-1]
-        doc_deltas[tstart_of_doc] = first_docs[tstart_of_doc]
-        docid_bufs = codec.varint_encode_grouped(doc_deltas, tstart_of_doc)
-        count_bufs = codec.varint_encode_grouped(occ_counts, tstart_of_doc)
-        n_docs_per_term = np.diff(np.append(tstart_of_doc, first_docs.size))
-
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([terms[codes_s[i]] for i in term_starts],
-                         type=pa.string()),
-                pa.array(n_docs_per_term, type=pa.int64()),
-                pa.array(docid_bufs, type=pa.binary()),
-                pa.array(count_bufs, type=pa.binary()),
-                pa.array(pos_bufs, type=pa.binary()),
-            ],
-            names=["term", "n_docs", "doc_ids", "pos_counts", "positions"],
-        )
 
 
-def build_positions(
-    spark: SparkSession,
-    source: DataFrame,
-    out_dir: str,
-    config: EngineConfig | None = None,
-    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
-    content_col: str = "content",
-    doc_id_col: str | None = None,
-) -> None:
-    """One scan → doc-hash spread → Arrow pack → term shuffle → sorted
-    write. Same pipeline shape as the frequency-postings bulk build."""
-    config = config or EngineConfig()
-    docs = prepare_identity(source, id_cols, content_col, doc_id_col)
-    analyzed = docs.repartition(config.shuffle_partitions, "doc_id").select(
-        "doc_id", tokenize(content_col).alias("tokens")
+def build_segment_positions(
+    analyzed: DataFrame, config: EngineConfig, seg_name: str | None = None
+) -> DataFrame:
+    """(doc_id, tokens[, seg]) → packed positions rows (POSITIONS_SCHEMA),
+    repartitioned by (seg, term) and term-sorted so parquet row-group
+    min/max stats prune query-term lookups.
+
+    ``analyzed`` must already be doc-hash partitioned (the same spread the
+    postings build uses): that partitioning IS the ``part`` doc-disjointness
+    invariant. ``seg_name`` stamps a constant segment (classic per-segment
+    build); None expects a ``seg`` column (bulk/wave pipeline)."""
+    src = analyzed
+    if seg_name is not None:
+        src = src.withColumn("seg", F.lit(seg_name))
+    src = src.withColumn("part", F.spark_partition_id().cast("long"))
+    packed = src.select("seg", "part", "doc_id", "tokens").mapInArrow(
+        _pack_positions_by_seg, schema=POSITIONS_SCHEMA
     )
-    packed = analyzed.mapInArrow(_pack_positions, schema=POSITIONS_SCHEMA)
-    (
-        packed.repartition(max(2, config.shuffle_partitions), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(out_dir)
+    return packed.repartition(
+        max(2, config.shuffle_partitions // 4), "seg", "term"
+    ).sortWithinPartitions("seg", "term")
+
+
+# --------------------------------------------------------------------------
+# decode + matching cores (shared verbatim by local and distributed paths)
+# --------------------------------------------------------------------------
+
+
+def _decode_groups(pdf: pd.DataFrame) -> dict[str, dict[int, np.ndarray]]:
+    """Packed rows (any mix of terms, ONE doc-disjoint group) →
+    ``{term: {doc_id: ascending positions array}}``.
+
+    One vectorized varint pass per column (varint_decode_concat) — the
+    only Python loop is over (term, doc) entries of the query terms, the
+    same envelope the intersection itself walks."""
+    if not len(pdf):
+        return {}
+    d_vals, d_row = codec.varint_decode_concat(list(pdf["doc_ids"]))
+    if d_vals.size == 0:
+        return {}
+    row_change = np.empty(d_row.size, dtype=bool)
+    row_change[0] = True
+    np.not_equal(d_row[1:], d_row[:-1], out=row_change[1:])
+    ids = codec.cumsum_with_resets(
+        d_vals.astype(np.int64), np.nonzero(row_change)[0]
     )
-
-
-def _decode_term_rows(pdf) -> dict[int, np.ndarray]:
-    """Rows of ONE term → {doc_id: ascending positions array}."""
-    out: dict[int, np.ndarray] = {}
-    for _, row in pdf.iterrows():
-        docs = np.cumsum(codec.varint_decode(row["doc_ids"]).astype(np.int64))
-        cnts = codec.varint_decode(row["pos_counts"]).astype(np.int64)
-        pos_deltas = codec.varint_decode(row["positions"]).astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-        pos = codec.cumsum_with_resets(pos_deltas, starts)
-        for d, s, c in zip(docs, starts, cnts, strict=True):
-            out[int(d)] = pos[s : s + c]
+    c_vals, _ = codec.varint_decode_concat(list(pdf["pos_counts"]))
+    cnts = c_vals.astype(np.int64)
+    p_vals, _ = codec.varint_decode_concat(list(pdf["positions"]))
+    starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    pos = codec.cumsum_with_resets(p_vals.astype(np.int64), starts)
+    term_of_doc = pdf["term"].to_numpy()[d_row]
+    ends = starts + cnts
+    out: dict[str, dict[int, np.ndarray]] = {}
+    for t, d, s, e in zip(term_of_doc, ids, starts, ends, strict=True):
+        out.setdefault(t, {})[int(d)] = pos[s:e]
     return out
 
 
-def phrase_occurrences(
-    positions_dir: str, phrase: str
+def _phrase_occ(
+    per_term: dict[str, dict[int, np.ndarray]], terms: list[str]
 ) -> dict[int, int]:
-    """doc_id → number of phrase occurrences (consecutive-position chains;
+    """doc_id → phrase occurrence count (consecutive-position chains;
     overlapping occurrences count, matching the SQL chain-join oracle)."""
-    import pyarrow.dataset as pads
-
-    terms = tokenize_py(phrase)
-    if not terms:
-        return {}
-    dset = pads.dataset(positions_dir, format="parquet")
-    tbl = dset.to_table(filter=pads.field("term").isin(sorted(set(terms))))
-    pdf = tbl.to_pandas()
-    per_term = {
-        t: _decode_term_rows(pdf[pdf["term"] == t]) for t in set(terms)
-    }
-    if any(not per_term[t] for t in terms):
+    if any(t not in per_term for t in terms):
         return {}
     cand = set(per_term[terms[0]])
     for t in terms[1:]:
@@ -180,8 +240,7 @@ def phrase_occurrences(
     for d in cand:
         live = per_term[terms[0]][d]
         for t in terms[1:]:
-            live = np.intersect1d(live + 1, per_term[t][d],
-                                  assume_unique=True)
+            live = np.intersect1d(live + 1, per_term[t][d], assume_unique=True)
             if live.size == 0:
                 break
         if live.size:
@@ -189,130 +248,455 @@ def phrase_occurrences(
     return out
 
 
-def phrase_score_topk(
-    spark: SparkSession,
-    positions_dir: str,
-    reader,
-    phrase: str,
-    k: int = 10,
-    round_to: int = 4,
-) -> DataFrame:
-    """Phrase-BM25 ranking: the phrase acts as one synthetic term whose
-    per-doc tf is its occurrence count and whose df is the count of
-    matching docs; dl/avgdl/N come from the segment store's stats. The
-    positional store supplies tf without touching source text; dl for the
-    (small) candidate set is a keyed lookup against the index's docs
-    table."""
-    from kafka_connect_opensearch_spark.operators.bm25 import (
-        bm25_idf,
-        bm25_tf_weight,
-    )
-
-    occ = phrase_occurrences(positions_dir, phrase)
-    if not occ:
-        return spark.createDataFrame([], "doc_id long, score double")
-    n_docs, avgdl = reader._stats  # noqa: SLF001
-    df = len(occ)
-    idf = bm25_idf(n_docs, df)
-    cand = sorted(occ)
-    dl_rows = (
-        reader.docs()
-        .filter(F.col("doc_id").isin(cand))
-        .select("doc_id", "dl")
-        .collect()
-    )
-    dl = {r["doc_id"]: r["dl"] for r in dl_rows}
-    scored = []
-    for d in cand:
-        w = idf * float(
-            bm25_tf_weight(
-                np.array([float(occ[d])]), np.array([float(dl[d])]),
-                avgdl, reader.k1, reader.b,
-            )[0]
-        )
-        scored.append((d, round(w, round_to)))
-    scored.sort(key=lambda t: (-t[1], t[0]))
-    import pandas as pd
-
-    pdf = pd.DataFrame(scored[:k], columns=["doc_id", "score"]).astype(
-        {"doc_id": "int64", "score": "float64"}
-    )
-    return spark.createDataFrame(pdf, "doc_id long, score double")
-
-
-def near_match_docs(
-    spark: SparkSession,
-    positions_dir: str,
+def _near_docs(
+    per_term: dict[str, dict[int, np.ndarray]],
     term_a: str,
     term_b: str,
-    slop: int = 3,
-) -> DataFrame:
-    """Proximity (NEAR) query: docs where ``term_a`` and ``term_b`` occur
-    within ``slop`` token positions of each other. Same read shape as
-    phrase matching: only the two terms' rows are decoded."""
-    import pyarrow.dataset as pads
-
-    dset = pads.dataset(positions_dir, format="parquet")
-    tbl = dset.to_table(
-        filter=pads.field("term").isin(sorted({term_a, term_b}))
-    )
-    pdf = tbl.to_pandas()
-    pa_pos = _decode_term_rows(pdf[pdf["term"] == term_a])
-    pb_pos = _decode_term_rows(pdf[pdf["term"] == term_b])
+    slop: int,
+) -> list[int]:
+    """doc_ids where the two terms occur within ``slop`` positions —
+    vectorized merge-walk min distance over the two sorted arrays."""
+    pa_pos = per_term.get(term_a, {})
+    pb_pos = per_term.get(term_b, {})
     hits = []
     for d in set(pa_pos) & set(pb_pos):
         a, b = pa_pos[d], pb_pos[d]
-        # min |a_i - b_j| over two sorted arrays via a merge walk
         idx = np.searchsorted(b, a)
         best = np.inf
-        for i, p in enumerate(a):
-            j = idx[i]
-            if j < b.size:
-                best = min(best, abs(int(b[j]) - int(p)))
-            if j > 0:
-                best = min(best, abs(int(p) - int(b[j - 1])))
+        right = idx < b.size
+        if right.any():
+            best = min(best, int(np.min(b[idx[right]] - a[right])))
+        left = idx > 0
+        if left.any():
+            best = min(best, int(np.min(a[left] - b[idx[left] - 1])))
         if best <= slop:
-            hits.append((d,))
-    if not hits:
-        return spark.createDataFrame([], "doc_id long")
-    return spark.createDataFrame(sorted(hits), "doc_id long")
+            hits.append(int(d))
+    return sorted(hits)
 
 
-def phrase_match_docs(
-    spark: SparkSession, positions_dir: str, phrase: str
+def _occ_pdf(occ: dict[int, int]) -> pd.DataFrame:
+    return pd.DataFrame(
+        sorted(occ.items()), columns=["doc_id", "tf"]
+    ).astype({"doc_id": "int64", "tf": "int64"})
+
+
+# --------------------------------------------------------------------------
+# query-side reader (adaptive local / distributed, mirrors bm25.IndexReader)
+# --------------------------------------------------------------------------
+
+
+class PositionsReader:
+    """Query-side view of an index's positional store (manifest-driven:
+    reads exactly the active segments, so merges/deletes are visible the
+    moment their manifest commits)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.store = SegmentStore(index_dir)
+        meta = self.store.meta()
+        if not meta.get("positions"):
+            raise ValueError(
+                f"index at {index_dir} was built without positions "
+                "(EngineConfig.index_positions=False)"
+            )
+        self.k1 = float(meta["k1"])
+        self.b = float(meta["b"])
+        self._segments = self.store.active_segments()
+        self._stats = self.store.global_stats()
+        self._datasets = None
+
+    def refresh(self) -> None:
+        """Re-read the manifest (after new commits/merges)."""
+        self._segments = self.store.active_segments()
+        self._stats = self.store.global_stats()
+        self._datasets = None
+
+    def _positions_datasets(self):
+        """Cached pyarrow dataset handles (coordinator path) — mirrors
+        bm25.IndexReader._postings_datasets: discovery costs hundreds of
+        ms on many-file stores and must not be paid per query."""
+        if self._datasets is None:
+            import pyarrow.dataset as pads
+
+            scans = []
+            bulk: dict[str, list[str]] = {}
+            for s in self._segments:
+                if s.path:
+                    bulk.setdefault(s.path, []).append(s.name)
+                else:
+                    scans.append(
+                        (
+                            f"{self.store.segment_path(s.name)}"
+                            "/positions.parquet",
+                            None,
+                        )
+                    )
+            scans += [
+                (f"{root}/positions.parquet", names)
+                for root, names in bulk.items()
+            ]
+            self._datasets = [
+                (pads.dataset(p, format="parquet", partitioning="hive"), names)
+                for p, names in scans
+            ]
+        return self._datasets
+
+    def term_entries(self, terms: list[str]) -> dict[str, int]:
+        """Summed ``n_docs`` per term across active segments — the
+        term-dictionary lookup that drives the local/distributed split.
+        Reads only the (term, n_docs) columns of the query terms' row
+        groups (predicate pushdown on the sorted term column)."""
+        import pyarrow.dataset as pads
+
+        out: dict[str, int] = dict.fromkeys(terms, 0)
+        for dset, names in self._positions_datasets():
+            flt = pads.field("term").isin(terms)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(columns=["term", "n_docs"], filter=flt)
+            for t, n in zip(
+                tbl["term"].to_pylist(), tbl["n_docs"].to_pylist(), strict=True
+            ):
+                out[t] += int(n)
+        return {t: n for t, n in out.items() if n > 0}
+
+    def _local_rows(self, terms: list[str]) -> pd.DataFrame:
+        """Coordinator-side scatter-gather of the query terms' rows."""
+        import pyarrow.dataset as pads
+
+        parts = []
+        for dset, names in self._positions_datasets():
+            flt = pads.field("term").isin(terms)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(filter=flt)
+            if tbl.num_rows:
+                parts.append(tbl.to_pandas())
+        if not parts:
+            return pd.DataFrame(
+                columns=[
+                    "term", "seg", "part", "n_docs",
+                    "doc_ids", "pos_counts", "positions",
+                ]
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def _spark_rows(self, terms: list[str]) -> DataFrame:
+        """Distributed read of the query terms' rows (filter pushed to the
+        parquet scan; sorted layout prunes row groups)."""
+        df = self.store.read_positions(self.spark, self._segments)
+        return df.filter(F.col("term").isin(list(terms)))
+
+    def _run_grouped(
+        self,
+        terms: list[str],
+        group_fn,
+        schema: str,
+        empty_cols: dict,
+        local_threshold: int,
+    ) -> DataFrame:
+        """Shared adaptive executor: ``group_fn(pdf) -> pdf`` runs once per
+        doc-disjoint (seg, part) group; union of group results is exact.
+        Under the threshold the same function runs coordinator-side over a
+        pyarrow scan — results are identical by construction."""
+        uniq = sorted(set(terms))
+        entries = self.term_entries(uniq)
+        empty_pdf = pd.DataFrame(empty_cols)
+        if any(t not in entries for t in uniq):
+            return self.spark.createDataFrame(empty_pdf, schema)
+        if sum(entries.values()) <= local_threshold:
+            rows = self._local_rows(uniq)
+            if not len(rows):
+                return self.spark.createDataFrame(empty_pdf, schema)
+            outs = [
+                group_fn(g)
+                for _, g in rows.groupby(["seg", "part"], sort=False)
+            ]
+            outs = [o for o in outs if len(o)]
+            merged = (
+                pd.concat(outs, ignore_index=True).sort_values("doc_id")
+                if outs
+                else empty_pdf
+            )
+            return self.spark.createDataFrame(merged, schema)
+        return (
+            self._spark_rows(uniq)
+            .groupBy("seg", "part")
+            .applyInPandas(group_fn, schema=schema)
+        )
+
+    def phrase_occurrences(
+        self, phrase: str, local_threshold: int = 2_000_000
+    ) -> DataFrame:
+        """(doc_id, tf) rows — tf = number of phrase occurrences
+        (consecutive-position chains) in the doc."""
+        terms = tokenize_py(phrase)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, tf long")
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _occ_pdf(_phrase_occ(_decode_groups(pdf), terms))
+
+        return self._run_grouped(
+            terms,
+            fn,
+            "doc_id long, tf long",
+            {"doc_id": pd.Series([], dtype="int64"),
+             "tf": pd.Series([], dtype="int64")},
+            local_threshold,
+        )
+
+    def phrase_docs(
+        self, phrase: str, local_threshold: int = 2_000_000
+    ) -> DataFrame:
+        """doc_ids where the phrase's tokens occur at consecutive
+        positions."""
+        return self.phrase_occurrences(phrase, local_threshold).select(
+            "doc_id"
+        )
+
+    def near_docs(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int = 3,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """Proximity (NEAR) query: docs where the two terms occur within
+        ``slop`` token positions of each other."""
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            hits = _near_docs(_decode_groups(pdf), term_a, term_b, slop)
+            return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
+
+        return self._run_grouped(
+            [term_a, term_b],
+            fn,
+            "doc_id long",
+            {"doc_id": pd.Series([], dtype="int64")},
+            local_threshold,
+        )
+
+    def phrase_topk(
+        self,
+        phrase: str,
+        k: int = 10,
+        round_to: int = 4,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """Phrase-BM25 ranking: the phrase acts as one synthetic term whose
+        per-doc tf is its occurrence count and whose df is the count of
+        matching docs; dl comes from the postings store's dls (keyed to the
+        same segments), N/avgdl from segment stats. Same adaptive split as
+        the match queries; the distributed path scores in Spark SQL with
+        the identical float64 expression order, so both paths agree
+        bit-for-bit."""
+        from kafka_connect_opensearch_spark.operators.bm25 import (
+            IndexReader,
+            bm25_idf,
+            bm25_tf_weight,
+        )
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        terms = tokenize_py(phrase)
+        if not terms:
+            return empty
+        n_docs, avgdl = self._stats
+        if n_docs == 0:
+            return empty
+        uniq = sorted(set(terms))
+        entries = self.term_entries(uniq)
+        if any(t not in entries for t in uniq):
+            return empty
+        reader = IndexReader(self.spark, self.store.index_dir)
+        if sum(entries.values()) <= local_threshold:
+            rows = self._local_rows(uniq)
+            occ: dict[int, int] = {}
+            for _, g in rows.groupby(["seg", "part"], sort=False):
+                occ.update(_phrase_occ(_decode_groups(g), terms))
+            if not occ:
+                return empty
+            idf = bm25_idf(n_docs, len(occ))
+            # dl for the candidates: decode ONE phrase term's postings rows
+            # (every candidate contains every term) — same coordinator
+            # envelope as the positions read, no corpus-sized isin filter
+            rare = min(uniq, key=lambda t: entries[t])
+            dl = self._dl_from_postings(reader, rare)
+            cand = sorted(occ)
+            tf_arr = np.array([float(occ[d]) for d in cand])
+            dl_arr = np.array([float(dl[d]) for d in cand])
+            w = idf * bm25_tf_weight(tf_arr, dl_arr, avgdl, self.k1, self.b)
+            scored = sorted(
+                zip(cand, np.round(w, round_to), strict=True),
+                key=lambda t: (-t[1], t[0]),
+            )[:k]
+            pdf = pd.DataFrame(scored, columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            return self.spark.createDataFrame(pdf, "doc_id long, score double")
+        occ_df = self.phrase_occurrences(phrase, local_threshold).cache()
+        n_match = occ_df.count()
+        if n_match == 0:
+            occ_df.unpersist()
+            return empty
+        idf = bm25_idf(n_docs, n_match)
+        k1, b = self.k1, self.b
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        # identical float64 op order to numpy bm25_tf_weight:
+        # tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)), then * idf
+        weight = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+        )
+        return (
+            occ_df.join(reader.docs().select("doc_id", "dl"), "doc_id")
+            .withColumn("score", F.round(F.lit(idf) * weight, round_to))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def _dl_from_postings(self, reader, term: str) -> dict[int, int]:
+        """doc_id → dl from ONE term's postings rows (coordinator pyarrow
+        scan, same pushdown shape as the positions read)."""
+        import pyarrow.dataset as pads
+
+        out: dict[int, int] = {}
+        for dset, names in reader._postings_datasets():  # noqa: SLF001
+            flt = pads.field("term") == term
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(
+                columns=["doc_ids", "dls"], filter=flt
+            )
+            for row in range(tbl.num_rows):
+                ids = np.cumsum(
+                    codec.varint_decode(
+                        tbl["doc_ids"][row].as_py()
+                    ).astype(np.int64)
+                )
+                dls = codec.varint_decode(tbl["dls"][row].as_py()).astype(
+                    np.int64
+                )
+                for d, length in zip(ids, dls, strict=True):
+                    out[int(d)] = int(length)
+        return out
+
+
+# --------------------------------------------------------------------------
+# merge support: decode to per-doc blobs, re-pack for the merged segment
+# --------------------------------------------------------------------------
+
+
+def decode_positions_df(positions: DataFrame) -> DataFrame:
+    """Packed positions rows → (term, _segname, doc_id, n_pos, pos_blob)
+    rows. ``pos_blob`` is the per-doc positions byte-slice: deltas reset at
+    each doc boundary, so blobs re-concatenate into a merged row without
+    decoding or re-encoding a single position value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            d_vals, d_row = codec.varint_decode_concat(list(b["doc_ids"]))
+            if d_vals.size == 0:
+                continue
+            row_change = np.empty(d_row.size, dtype=bool)
+            row_change[0] = True
+            np.not_equal(d_row[1:], d_row[:-1], out=row_change[1:])
+            ids = codec.cumsum_with_resets(
+                d_vals.astype(np.int64), np.nonzero(row_change)[0]
+            )
+            c_vals, _ = codec.varint_decode_concat(list(b["pos_counts"]))
+            cnts = c_vals.astype(np.int64)
+            raw = b"".join(b["positions"])
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            # last byte of each varint value → per-doc byte ranges (docs
+            # tile each row's buffer fully and rows concatenate contiguously)
+            vend = np.nonzero((arr & 0x80) == 0)[0]
+            byte_ends = vend[np.cumsum(cnts) - 1] + 1
+            byte_starts = np.concatenate(([0], byte_ends[:-1]))
+            blobs = [
+                raw[int(s):int(e)]
+                for s, e in zip(byte_starts, byte_ends, strict=True)
+            ]
+            counts_per_row = np.bincount(d_row, minlength=len(b))
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(b["term"].to_numpy(), counts_per_row),
+                    "_segname": np.repeat(
+                        b["seg"].to_numpy(), counts_per_row
+                    ),
+                    "doc_id": ids,
+                    "n_pos": cnts,
+                    "pos_blob": blobs,
+                }
+            )
+
+    return positions.select(
+        "term", "seg", "doc_ids", "pos_counts", "positions"
+    ).mapInPandas(run, schema=DECODED_POSITIONS_SCHEMA)
+
+
+def repack_positions(
+    survivors: DataFrame, config: EngineConfig, n_parts: int | None = None
 ) -> DataFrame:
-    """Exact positional phrase match: doc_ids where the phrase's tokens
-    occur at consecutive positions. Reads ONLY the phrase terms' rows
-    (term pushdown on the sorted store); the adjacency intersection runs
-    coordinator-side on the decoded position lists (bounded by the
-    AND-match doc count, the same envelope as top-k scoring)."""
-    import pyarrow.dataset as pads
+    """(term, doc_id, n_pos, pos_blob) → packed positions rows (without
+    the ``seg`` column — the caller stamps the merged segment's name).
 
-    terms = tokenize_py(phrase)
-    if not terms:
-        return spark.createDataFrame([], "doc_id long")
-    dset = pads.dataset(positions_dir, format="parquet")
-    tbl = dset.to_table(filter=pads.field("term").isin(sorted(set(terms))))
-    pdf = tbl.to_pandas()
-    per_term = {
-        t: _decode_term_rows(pdf[pdf["term"] == t]) for t in set(terms)
-    }
-    if any(not per_term[t] for t in terms):
-        return spark.createDataFrame([], "doc_id long")
-    # candidates: docs containing every term
-    cand = set(per_term[terms[0]])
-    for t in terms[1:]:
-        cand &= set(per_term[t])
-    hits = []
-    for d in cand:
-        live = per_term[terms[0]][d]
-        for i, t in enumerate(terms[1:], start=1):
-            live = np.intersect1d(live + 1, per_term[t][d],
-                                  assume_unique=True)
-            if live.size == 0:
-                break
-        if live.size:
-            hits.append((d,))
-    if not hits:
-        return spark.createDataFrame([], "doc_id long")
-    return spark.createDataFrame(sorted(hits), "doc_id long")
+    ``part = pmod(doc_id, n_parts)`` keeps rows doc-disjoint across
+    (seg, part) groups — a pure function of doc_id, so the invariant holds
+    by construction and distributed queries keep their per-group exactness
+    on merged segments. Per-doc blobs concatenate byte-for-byte (deltas
+    reset per doc), so the merge never touches position values."""
+    from kafka_connect_opensearch_spark.operators.indexer import _stream_groups
+
+    n_parts = n_parts or config.salt_partitions
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for chunk in _stream_groups(batches, ["term", "part"]):
+            terms = chunk["term"].to_numpy()
+            parts = chunk["part"].to_numpy()
+            ids = chunk["doc_id"].to_numpy(dtype="int64")
+            npos = chunk["n_pos"].to_numpy(dtype="int64")
+            blobs = list(chunk["pos_blob"])
+            change = np.empty(terms.size, dtype=bool)
+            change[0] = True
+            np.not_equal(terms[1:], terms[:-1], out=change[1:])
+            change[1:] |= parts[1:] != parts[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], terms.size)
+            deltas = ids.copy()
+            deltas[1:] -= ids[:-1]
+            deltas[starts] = ids[starts]
+            yield pd.DataFrame(
+                {
+                    "term": terms[starts],
+                    "part": parts[starts].astype("int64"),
+                    "n_docs": (ends - starts).astype("int64"),
+                    "doc_ids": codec.varint_encode_grouped(
+                        deltas.astype("uint64"), starts
+                    ),
+                    "pos_counts": codec.varint_encode_grouped(
+                        npos.astype("uint64"), starts
+                    ),
+                    "positions": [
+                        b"".join(blobs[s:e])
+                        for s, e in zip(starts, ends, strict=True)
+                    ],
+                }
+            )
+
+    src = survivors.withColumn(
+        "part", F.pmod(F.col("doc_id"), F.lit(n_parts))
+    )
+    ordered = src.repartition(
+        max(2, config.shuffle_partitions // 4), "term"
+    ).sortWithinPartitions("term", "part", "doc_id")
+    return ordered.mapInPandas(
+        run,
+        schema=(
+            "term string, part long, n_docs long, doc_ids binary, "
+            "pos_counts binary, positions binary"
+        ),
+    )

@@ -164,6 +164,37 @@ class SegmentStore:
             out = out.unionByName(d)
         return out
 
+    def read_positions(self, spark, metas: list[SegmentMeta] | None = None):
+        """Union positions of the given (default: active) segments — same
+        two-layout shape as :meth:`read_postings` (classic stores ``seg``
+        in-file; bulk roots get it from Hive partition discovery)."""
+        from pyspark.sql import functions as F
+
+        metas = self.active_segments() if metas is None else metas
+        dfs = []
+        classic = [m for m in metas if not m.path]
+        if classic:
+            dfs.append(
+                spark.read.parquet(
+                    *[f"{self.segment_path(m.name)}/positions.parquet"
+                      for m in classic]
+                )
+            )
+        roots: dict[str, list[str]] = {}
+        for m in metas:
+            if m.path:
+                roots.setdefault(m.path, []).append(m.name)
+        for root, names in roots.items():
+            dfs.append(
+                spark.read.parquet(f"{root}/positions.parquet").filter(
+                    F.col("seg").isin(names)
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def read_docs(self, spark, metas: list[SegmentMeta] | None = None,
                   with_seg: bool = False):
         """Union docs tables; optionally tagging each row's segment name

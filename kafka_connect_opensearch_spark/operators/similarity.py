@@ -226,13 +226,32 @@ def lsh_bucketed_topk(
 
 def ivf_centroids(
     df: DataFrame,
-    stride: int = 37,
+    k: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic sampled centroids: every ``stride``-th vector."""
-    return df.filter(F.col(id_col) % stride == 1).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+    """Deterministic FIXED-k sampled centroids: the k vectors with the
+    smallest portable (md5-derived) hash of their id — IVF
+    random-sampling init with a reproducible PRNG, so the DuckDB oracle
+    selects the identical set.
+
+    k is independent of corpus size (the round-2 stride sampling grew
+    linearly and was collected driver-side — a scale-killer at 100 TB);
+    the plan is TakeOrderedAndProject over (hash, id), never a full sort.
+    Swap in Lloyd/k-means‖ iterations on a real deployment and nothing
+    downstream changes."""
+    from kafka_connect_opensearch_spark.operators.dedup import hash64
+
+    h = hash64(F.col(id_col).cast("string"), seed="ivf:")
+    return (
+        df.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(k)
+        .drop("_h")
     )
 
 

@@ -49,6 +49,23 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (1, 3) not in out
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark, docs):
+    """max_shingle_df: a cap above the corpus max df is a no-op; a cap of 1
+    drops every shared shingle, so no pair can have a positive
+    intersection (the 100 TB hot-shingle guard)."""
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.3).collect()}
+    capped_hi = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.ngram_jaccard_pairs(
+                     docs, "text", "doc_id", n=3, threshold=0.3,
+                     max_shingle_df=100).collect()}
+    assert capped_hi == base
+    assert dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_df=1
+    ).count() == 0
+
+
 def test_short_docs_survive_shingling(spark):
     """Docs with < n tokens must yield empty shingle arrays, not throw
     (sequence(1,0) is [1,0] in Spark — the descending-array trap)."""
@@ -223,7 +240,7 @@ def test_ivf_topk_recall_and_pruning(spark, vectors, tmp_path):
     from kafka_connect_opensearch_spark import plans
 
     corpus = vectors.filter(F.col("vec_id") > 0)
-    cents = similarity.ivf_centroids(corpus, stride=7)
+    cents = similarity.ivf_centroids(corpus, k=6)
     d = str(tmp_path / "ivf")
     similarity.materialize_ivf(corpus, cents, d)
     rows = vectors.collect()

@@ -1,0 +1,154 @@
+"""Positional store under the segment lifecycle.
+
+Pins the round-3 contract: positions are built per segment by the same
+pipelines as the frequency postings (classic AND bulk/wave layouts),
+participate in log-structured merges (latest-wins across generations +
+tombstone deletes, so phrase queries can never go stale), and queries run
+either coordinator-local or distributed per doc-disjoint (seg, part)
+group with identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from kafka_connect_opensearch_spark.config import EngineConfig
+from kafka_connect_opensearch_spark.operators.indexer import (
+    _build_one_segment,
+    build_index,
+    prepare_documents,
+)
+from kafka_connect_opensearch_spark.operators.merge import merge_segments
+from kafka_connect_opensearch_spark.operators.positions import PositionsReader
+from kafka_connect_opensearch_spark.operators.segments import SegmentStore
+from kafka_connect_opensearch_spark.plans import executed_plan
+
+FIXTURE = [
+    (1, "alpha beta gamma"),
+    (2, "beta alpha beta gamma alpha"),
+    (3, "gamma beta alpha"),
+    (4, "alpha, beta! gamma?"),
+    (5, "alpha alpha alpha"),
+    (6, ""),
+    (7, "alpha omega beta"),       # alpha..beta distance 2
+    (8, "alpha x y z beta"),       # alpha..beta distance 4
+]
+
+
+def _build(spark: SparkSession, tmp_path, rows=FIXTURE, num_segments=2):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(
+        num_segments=num_segments, salt_partitions=2, shuffle_partitions=4,
+        index_positions=True,
+    )
+    build_index(spark, docs, d, cfg, content_col="text", doc_id_col="doc_id")
+    return d, cfg
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_positions_bulk_layout_phrase_and_near(spark, tmp_path):
+    """num_segments=2 routes through the wave/bulk pipeline (Hive
+    seg=<name> positions partitions) — phrase + NEAR semantics hold."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    assert _ids(pr.phrase_docs("alpha beta")) == [1, 2, 4]
+    assert _ids(pr.phrase_docs("alpha alpha")) == [5]
+    assert _ids(pr.near_docs("alpha", "beta", slop=1)) == [1, 2, 3, 4]
+    assert _ids(pr.near_docs("alpha", "beta", slop=2)) == [1, 2, 3, 4, 7]
+    assert _ids(pr.near_docs("alpha", "beta", slop=4)) == [1, 2, 3, 4, 7, 8]
+    assert _ids(pr.near_docs("alpha", "nosuch", slop=3)) == []
+    topk = pr.phrase_topk("alpha beta", k=3).collect()
+    assert len(topk) == 3
+    scores = [r["score"] for r in topk]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_positions_distributed_path_parity(spark, tmp_path):
+    """local_threshold=0 forces groupBy(seg, part).applyInPandas; results
+    must be identical to the coordinator path (same numpy cores over
+    doc-disjoint groups), and the plan must actually be distributed."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+
+    for phrase in ("alpha beta", "alpha beta gamma", "gamma"):
+        local = _ids(pr.phrase_docs(phrase))
+        dist_df = pr.phrase_docs(phrase, local_threshold=0)
+        assert _ids(dist_df) == local
+    assert "FlatMapGroupsInPandas" in executed_plan(
+        pr.phrase_docs("alpha beta", local_threshold=0)
+    )
+
+    for slop in (1, 4):
+        assert _ids(pr.near_docs("alpha", "beta", slop=slop)) == _ids(
+            pr.near_docs("alpha", "beta", slop=slop, local_threshold=0)
+        )
+
+    lt = pr.phrase_topk("alpha beta", k=5).collect()
+    dt = pr.phrase_topk("alpha beta", k=5, local_threshold=0).collect()
+    assert [(r["doc_id"], r["score"]) for r in lt] == [
+        (r["doc_id"], r["score"]) for r in dt
+    ]
+
+
+def test_positions_follow_merge_latest_wins_and_deletes(spark, tmp_path):
+    """Re-ingest + tombstone delete: after merge, positional queries see
+    exactly the surviving generation — the stale-store divergence the
+    round-2 design had is structurally impossible."""
+    d = str(tmp_path / "idx")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon alpha beta")],
+        "doc_id long, text string",
+    )
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2, index_positions=True)
+    build_index(spark, v1, d, cfg, content_col="text", doc_id_col="doc_id")
+    store = SegmentStore(d)
+
+    # re-ingest doc 1 with changed content into a generation-1 segment
+    v2 = spark.createDataFrame([(1, "alpha omega omega")],
+                               "doc_id long, text string")
+    seg2 = _build_one_segment(
+        spark,
+        prepare_documents(v2, content_col="text", doc_id_col="doc_id"),
+        store, "seg_g1_reingest", cfg, content_col="text",
+    )
+    seg2.generation = 1
+    store.write_segmeta(seg2)
+    store.commit_batch(
+        "reingest",
+        {"batch": "reingest", "segments": [seg2.__dict__], "replaces": []},
+    )
+    merge_segments(spark, d, cfg)
+    pr = PositionsReader(spark, d)
+    assert _ids(pr.phrase_docs("alpha beta")) == [2]     # old gen shadowed
+    assert _ids(pr.phrase_docs("alpha omega")) == [1]    # new gen visible
+    assert _ids(pr.near_docs("delta", "alpha", slop=2)) == [2]
+
+    # distributed path agrees on the merged (re-packed) segment
+    assert _ids(pr.phrase_docs("alpha beta", local_threshold=0)) == [2]
+
+    # tombstone delete doc 2 (doc_key = str(doc_id) when doc_id_col given)
+    deletes = spark.createDataFrame([("2",)], "doc_key string")
+    merge_segments(spark, d, cfg, delete_doc_keys=deletes)
+    pr.refresh()
+    assert _ids(pr.phrase_docs("alpha beta")) == []
+    assert _ids(pr.phrase_docs("alpha omega")) == [1]
+    assert pr.near_docs("delta", "alpha", slop=2).count() == 0
+
+
+def test_positions_reader_requires_flag(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "alpha beta")],
+                                 "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2)  # index_positions=False
+    build_index(spark, docs, d, cfg, content_col="text", doc_id_col="doc_id")
+    try:
+        PositionsReader(spark, d)
+        raise AssertionError("expected ValueError for positions-less index")
+    except ValueError as e:
+        assert "positions" in str(e)

@@ -79,12 +79,14 @@ def test_merge_postings_empty():
 
 
 def test_positions_store_phrase_match(spark, tmp_path):
-    """Positional store: build → phrase/single/missing-term queries match
-    a direct token-adjacency reference over the same docs."""
-    from pyspark.sql import functions as F
-
+    """Positional store (classic per-segment layout): build → phrase/
+    single/missing-term queries match a direct token-adjacency reference
+    over the same docs."""
     from kafka_connect_opensearch_spark.config import EngineConfig
-    from kafka_connect_opensearch_spark.operators import positions as P
+    from kafka_connect_opensearch_spark.operators.indexer import build_index
+    from kafka_connect_opensearch_spark.operators.positions import (
+        PositionsReader,
+    )
 
     rows = [
         (1, "alpha beta gamma"),
@@ -95,21 +97,18 @@ def test_positions_store_phrase_match(spark, tmp_path):
         (6, ""),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    d = str(tmp_path / "pos")
-    P.build_positions(spark, docs, d, EngineConfig(shuffle_partitions=2),
-                      content_col="text", doc_id_col="doc_id")
-    got = sorted(r["doc_id"]
-                 for r in P.phrase_match_docs(spark, d, "alpha beta").collect())
-    assert got == [1, 2, 4]
-    got3 = sorted(
-        r["doc_id"]
-        for r in P.phrase_match_docs(spark, d, "alpha beta gamma").collect()
-    )
-    assert got3 == [1, 2, 4]  # doc 2: "... alpha beta gamma ..." at pos 1-3
-    rep = sorted(r["doc_id"]
-                 for r in P.phrase_match_docs(spark, d, "alpha alpha").collect())
-    assert rep == [5]
-    assert P.phrase_match_docs(spark, d, "nosuch term").count() == 0
-    single = sorted(r["doc_id"]
-                    for r in P.phrase_match_docs(spark, d, "gamma").collect())
-    assert single == [1, 2, 3, 4]
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2, index_positions=True)
+    build_index(spark, docs, d, cfg, content_col="text", doc_id_col="doc_id")
+    pr = PositionsReader(spark, d)
+
+    def phrase(p):
+        return sorted(r["doc_id"] for r in pr.phrase_docs(p).collect())
+
+    assert phrase("alpha beta") == [1, 2, 4]
+    # doc 2: "... alpha beta gamma ..." at pos 1-3
+    assert phrase("alpha beta gamma") == [1, 2, 4]
+    assert phrase("alpha alpha") == [5]
+    assert phrase("nosuch term") == []
+    assert phrase("gamma") == [1, 2, 3, 4]
