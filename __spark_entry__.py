@@ -195,6 +195,36 @@ def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE3 = "stream table hash"
+PREFIX_Q = "s"
+FUZZY_Q = "sow"  # levenshtein-1 neighbors in the corpus vocab: row, slow
+
+
+def q_phrase_match_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term (3-token) positional phrase — exercises the chained
+    consecutive-position intersection beyond the 2-term contract case."""
+    return (
+        _get_positions(spark, sf_dir).phrase_docs(PHRASE3).orderBy("doc_id")
+    )
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch prefix query (rewrite: scoring_boolean): the term
+    dictionary expands the prefix (range scan on the sorted term column),
+    then the expansion scores as an OR of term queries with qtf=1."""
+    reader = _get_index(spark, sf_dir)
+    res = reader.prefix_search(PREFIX_Q, k=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_fuzzy_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch fuzzy query: dictionary terms within levenshtein 1 of
+    the (misspelled) query term; count of docs matching the expansion."""
+    reader = _get_index(spark, sf_dir)
+    n = reader.fuzzy_match_count(FUZZY_Q, max_edits=1)
+    return spark.createDataFrame([(n,)], "n long")
+
+
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-after-rank: BM25 top-k doc_ids join back to the source
     table for stored fields (the index stores identity + stats, never a
@@ -779,6 +809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_and": _match_count("and"),
         "phrase_match": q_phrase_match,
         "phrase_match_positional": q_phrase_positional,
+        "phrase_match_3": q_phrase_match_3,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_match_count": q_fuzzy_match_count,
         "near_match": q_near_match,
         "phrase_bm25_topk": q_phrase_bm25,
         "search_facets": q_search_facets,
@@ -909,6 +942,70 @@ FROM (
 """
 
 
+def _prefix_topk_sql() -> str:
+    """Full BM25 over the dynamic prefix expansion (qtf=1 per expanded
+    term, alphabetical LIMIT 50 rewrite cap — identical semantics to
+    IndexReader.prefix_search)."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+dstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks)::DOUBLE AS dl FROM docs
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+q AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM tf WHERE term LIKE '{PREFIX_Q}%'
+  ) ORDER BY term LIMIT 50
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  CROSS JOIN dstats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+"""
+
+
+def _fuzzy_count_sql() -> str:
+    """Count over the levenshtein-1 dictionary expansion (length-window +
+    alphabetical LIMIT 50, mirroring IndexReader.expand_fuzzy)."""
+    toks = _toks_sql("text")
+    return f"""
+WITH expansion AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM (
+      SELECT unnest({toks}) AS term FROM documents
+    )
+    WHERE abs(len(term) - {len(FUZZY_Q)}) <= 1
+      AND levenshtein(term, '{FUZZY_Q}') <= 1
+  ) ORDER BY term LIMIT 50
+)
+SELECT count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+  ) WHERE term IN (SELECT term FROM expansion)
+  GROUP BY doc_id
+)
+"""
+
+
 def _match_count_sql(mode: str) -> str:
     terms = sorted(set(COUNT_TERMS))
     inlist = ", ".join(f"'{t}'" for t in terms)
@@ -997,6 +1094,14 @@ WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
                ' {PHRASE} ')
 ORDER BY doc_id
 """,
+        "phrase_match_3": f"""
+SELECT doc_id FROM documents
+WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
+               ' {PHRASE3} ')
+ORDER BY doc_id
+""",
+        "prefix_topk": _prefix_topk_sql(),
+        "fuzzy_match_count": _fuzzy_count_sql(),
         "doc_count": "SELECT count(*)::BIGINT AS n FROM documents",
         "term_doc_freq": f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df

@@ -269,6 +269,107 @@ class IndexReader:
         )
         return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def expand_prefix(self, prefix: str, max_terms: int = 50) -> list[str]:
+        """Prefix-query rewrite (OpenSearch ``prefix`` /
+        ``match_phrase_prefix``): dictionary terms starting with
+        ``prefix``, first ``max_terms`` alphabetically (the rewrite cap).
+
+        A coordinator term-dictionary metadata op like :meth:`term_stats`:
+        the range predicate ``prefix ≤ term < next(prefix)`` pushes into
+        the sorted term column, so only matching row groups are read."""
+        if not prefix:
+            return []
+        import pyarrow.dataset as pads
+
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        terms: set[str] = set()
+        for dset, names in self._postings_datasets():
+            flt = (pads.field("term") >= prefix) & (pads.field("term") < upper)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(columns=["term"], filter=flt)
+            terms.update(tbl["term"].to_pylist())
+        return sorted(terms)[:max_terms]
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        max_terms: int = 50,
+        local_threshold: int = 1_000_000,
+    ) -> list[str]:
+        """Fuzzy-query rewrite (OpenSearch ``fuzzy`` / ``match`` with
+        fuzziness): dictionary terms within levenshtein ``max_edits``,
+        first ``max_terms`` alphabetically.
+
+        Lucene walks a Levenshtein automaton over its FST dictionary; here
+        the dictionary is scanned with a length-window prefilter
+        (|len(t) − len(q)| ≤ max_edits). Adaptive like :meth:`search`:
+        when Σ per-segment dictionary rows fits under ``local_threshold``
+        the coordinator scans the term column via pyarrow; above it a
+        distributed distinct over the postings' term column runs with the
+        JVM ``levenshtein`` — vocabulary-sized, never doc-sized."""
+        lo, hi = len(term) - max_edits, len(term) + max_edits
+        vocab_rows = sum(s.n_terms for s in self._segments)
+        if vocab_rows <= local_threshold:
+            import pyarrow.dataset as pads
+
+            cand: set[str] = set()
+            for dset, names in self._postings_datasets():
+                flt = (
+                    pads.field("seg").isin(names)
+                    if names is not None
+                    else None
+                )
+                tbl = dset.to_table(columns=["term"], filter=flt)
+                cand.update(tbl["term"].to_pylist())
+            out = sorted(
+                t
+                for t in cand
+                if lo <= len(t) <= hi and _levenshtein(term, t) <= max_edits
+            )
+            return out[:max_terms]
+        rows = (
+            self.postings(None)
+            .select("term")
+            .filter(F.length("term").between(lo, hi))
+            .distinct()
+            .filter(F.levenshtein(F.lit(term), F.col("term")) <= max_edits)
+            .orderBy("term")
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def prefix_search(
+        self, prefix: str, k: int = 10, max_terms: int = 50
+    ) -> DataFrame:
+        """Prefix query scored as OpenSearch ``rewrite: scoring_boolean``:
+        the expansion becomes an OR of term queries, each with qtf=1 and
+        its own idf."""
+        terms = self.expand_prefix(prefix, max_terms)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(" ".join(terms), k=k, mode="or")
+
+    def fuzzy_search(
+        self, term: str, k: int = 10, max_edits: int = 1, max_terms: int = 50
+    ) -> DataFrame:
+        """Fuzzy query scored as ``rewrite: scoring_boolean`` over the
+        levenshtein expansion."""
+        terms = self.expand_fuzzy(term, max_edits, max_terms)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(" ".join(terms), k=k, mode="or")
+
+    def fuzzy_match_count(
+        self, term: str, max_edits: int = 1, max_terms: int = 50
+    ) -> int:
+        """Docs matching any term of the fuzzy expansion (D7 over the
+        rewrite)."""
+        terms = self.expand_fuzzy(term, max_edits, max_terms)
+        return self.match_count(" ".join(terms), mode="or") if terms else 0
+
     def phrase_match(
         self,
         source: DataFrame,
@@ -402,6 +503,25 @@ class IndexReader:
             .collect()[0]
         )
         return int(out["n"])
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute) — identical
+    definition to Spark's and DuckDB's ``levenshtein``, so the coordinator
+    and distributed fuzzy expansions (and the SQL oracle) agree."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1])
+            )
+        prev = cur
+    return prev[lb]
 
 
 def _decode_rows(pdf: pd.DataFrame) -> dict[str, tuple]:

@@ -234,6 +234,42 @@ def test_prepare_documents_ids_match_python(spark):
         assert r["doc_id"] == doc_id_py(r["doc_key"])
 
 
+def test_prefix_expansion_and_search(spark, index_dir, corpus_pdf):
+    """Prefix rewrite: expansion = sorted dictionary terms with the prefix
+    (capped); prefix_search equals an explicit OR search over them."""
+    reader = IndexReader(spark, index_dir)
+    exp = reader.expand_prefix("ret")
+    assert exp == ["return"]
+    exp_s = reader.expand_prefix("s")
+    vocab = {t for toks in corpus_pdf["content"].str.split()
+             for t in toks}
+    assert exp_s == sorted(t for t in vocab if t.startswith("s"))[:50]
+    assert reader.expand_prefix("s", max_terms=2) == exp_s[:2]
+    assert reader.expand_prefix("zzz_nothing") == []
+    got = reader.prefix_search("ret", k=5).collect()
+    want = reader.search("return", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_fuzzy_expansion_local_and_distributed_agree(spark, index_dir):
+    """Fuzzy rewrite: coordinator dictionary scan and the distributed
+    levenshtein path return the same expansion (and python _levenshtein
+    matches the JVM definition)."""
+    reader = IndexReader(spark, index_dir)
+    local = reader.expand_fuzzy("retur", max_edits=1)
+    assert "return" in local
+    dist = reader.expand_fuzzy("retur", max_edits=1, local_threshold=0)
+    assert dist == local
+    # edit distance 2 term excluded at max_edits=1
+    assert "return" not in reader.expand_fuzzy("retu", max_edits=1)
+    assert "return" in reader.expand_fuzzy("retu", max_edits=2)
+    n = reader.fuzzy_match_count("retur", max_edits=1)
+    assert n == reader.match_count(" ".join(local), mode="or")
+    assert reader.fuzzy_match_count("qqqqqqqq", max_edits=1) == 0
+
+
 def test_postings_scan_pushdown(spark, index_dir):
     """Query-term lookup must push the IN-filter into the parquet scan."""
     reader = IndexReader(spark, index_dir)
