@@ -198,6 +198,8 @@ def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASE3 = "stream table hash"
 PREFIX_Q = "s"
 FUZZY_Q = "sow"  # levenshtein-1 neighbors in the corpus vocab: row, slow
+WILDCARD_Q = "*ow"        # expands to: row, slow, window
+PHRASE_PREFIX_Q = "hash s"  # token 'hash' followed by any s- token
 
 
 def q_phrase_match_3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +225,26 @@ def q_fuzzy_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _get_index(spark, sf_dir)
     n = reader.fuzzy_match_count(FUZZY_Q, max_edits=1)
     return spark.createDataFrame([(n,)], "n long")
+
+
+def q_wildcard_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch wildcard query (leading-wildcard pattern — the
+    full-dictionary-scan case): count of docs matching any expanded
+    term."""
+    reader = _get_index(spark, sf_dir)
+    n = reader.wildcard_match_count(WILDCARD_Q)
+    return spark.createDataFrame([(n,)], "n long")
+
+
+def q_phrase_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch match_phrase_prefix over the positional store: leading
+    tokens at consecutive positions, immediately followed by any
+    dictionary expansion of the trailing prefix."""
+    return (
+        _get_positions(spark, sf_dir)
+        .phrase_prefix_docs(PHRASE_PREFIX_Q)
+        .orderBy("doc_id")
+    )
 
 
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,8 +832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_match_positional": q_phrase_positional,
         "phrase_match_3": q_phrase_match_3,
+        "phrase_prefix_match": q_phrase_prefix_match,
         "prefix_topk": q_prefix_topk,
         "fuzzy_match_count": q_fuzzy_match_count,
+        "wildcard_match_count": q_wildcard_match_count,
         "near_match": q_near_match,
         "phrase_bm25_topk": q_phrase_bm25,
         "search_facets": q_search_facets,
@@ -1102,6 +1126,27 @@ ORDER BY doc_id
 """,
         "prefix_topk": _prefix_topk_sql(),
         "fuzzy_match_count": _fuzzy_count_sql(),
+        "wildcard_match_count": f"""
+WITH expansion AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM (
+      SELECT unnest({_toks_sql('text')}) AS term FROM documents
+    ) WHERE term LIKE '{WILDCARD_Q.replace("*", "%").replace("?", "_")}'
+  ) ORDER BY term LIMIT 50
+)
+SELECT count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents
+  ) WHERE term IN (SELECT term FROM expansion)
+  GROUP BY doc_id
+)
+""",
+        "phrase_prefix_match": f"""
+SELECT doc_id FROM documents
+WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
+               ' {PHRASE_PREFIX_Q}')
+ORDER BY doc_id
+""",
         "doc_count": "SELECT count(*)::BIGINT AS n FROM documents",
         "term_doc_freq": f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df

@@ -148,6 +148,52 @@ def main() -> None:
         extras["query_p50_ms_multiseg"] = round(float(np.percentile(pre, 50)), 1)
         extras["query_p50_ms_merged"] = round(float(np.percentile(post, 50)), 1)
 
+        # --- positional index: build cost + phrase/NEAR query latency.
+        # Positions are a per-index mapping option (like Lucene field
+        # positions), so the headline index_build above stays comparable
+        # across rounds; this measures the option's full cost explicitly.
+        from kafka_connect_opensearch_spark.operators.positions import (
+            PositionsReader,
+        )
+
+        pos_cfg = EngineConfig(
+            num_segments=8,
+            shuffle_partitions=max(cpus, 16),
+            salt_partitions=16,
+            index_positions=True,
+        )
+        t0 = time.monotonic()
+        build_index_bulk(spark, corpus, f"{work}/index_pos", pos_cfg)
+        timings["index_build_with_positions"] = round(time.monotonic() - t0, 3)
+        extras["docs_per_sec_with_positions"] = round(
+            n_docs / timings["index_build_with_positions"], 1
+        )
+        preader = PositionsReader(spark, f"{work}/index_pos")
+        PHRASE_SET = [
+            "return import",          # two stopword-heavy terms (worst case)
+            "def class self",         # 3-term chain
+            "ident_7 return",         # rare + hot
+            "return return",          # repeated term
+        ]
+        NEAR_SET = [("return", "import", 3), ("ident_7", "class", 5)]
+        pos_lat: list[float] = []
+        t0 = time.monotonic()
+        for rnd in range(3):
+            for p in PHRASE_SET:
+                t1 = time.monotonic()
+                ids = preader.phrase_match_ids(p)
+                if rnd > 0:
+                    pos_lat.append((time.monotonic() - t1) * 1000)
+                assert isinstance(ids, list)
+            for a, b, slop in NEAR_SET:
+                t1 = time.monotonic()
+                preader.near_match_ids(a, b, slop)
+                if rnd > 0:
+                    pos_lat.append((time.monotonic() - t1) * 1000)
+        timings["phrase_near_queries"] = round(time.monotonic() - t0, 3)
+        extras["phrase_p50_ms"] = round(float(np.percentile(pos_lat, 50)), 1)
+        extras["phrase_p95_ms"] = round(float(np.percentile(pos_lat, 95)), 1)
+
         # --- BM25 query latency (reference query set, 2 warm rounds):
         # native engine path (search_topk) is the p50/p95 headline; the
         # DataFrame wrapper (pipeline-integration path) timed separately

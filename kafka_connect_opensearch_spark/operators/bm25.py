@@ -341,6 +341,74 @@ class IndexReader:
         )
         return [r["term"] for r in rows]
 
+    def expand_wildcard(
+        self,
+        pattern: str,
+        max_terms: int = 50,
+        local_threshold: int = 1_000_000,
+    ) -> list[str]:
+        """Wildcard-query rewrite (OpenSearch ``wildcard``): dictionary
+        terms matching the full pattern (``*`` = any run, ``?`` = one
+        char), first ``max_terms`` alphabetically.
+
+        Like Lucene, the literal prefix before the first wildcard seeds a
+        range scan on the sorted dictionary (leading-wildcard patterns
+        scan the whole vocabulary — same caveat as OpenSearch documents).
+        Adaptive coordinator/distributed split as :meth:`expand_fuzzy`."""
+        import re as _re
+
+        regex = "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        )
+        lead = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+        vocab_rows = sum(s.n_terms for s in self._segments)
+        if vocab_rows <= local_threshold:
+            import pyarrow.dataset as pads
+
+            cand: set[str] = set()
+            for dset, names in self._postings_datasets():
+                flt = None
+                if lead:
+                    upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+                    flt = (pads.field("term") >= lead) & (
+                        pads.field("term") < upper
+                    )
+                if names is not None:
+                    seg_f = pads.field("seg").isin(names)
+                    flt = seg_f if flt is None else flt & seg_f
+                tbl = dset.to_table(columns=["term"], filter=flt)
+                cand.update(tbl["term"].to_pylist())
+            rx = _re.compile(f"^{regex}$")
+            return sorted(t for t in cand if rx.match(t))[:max_terms]
+        df = self.postings(None).select("term")
+        if lead:
+            upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+            df = df.filter(
+                (F.col("term") >= lead) & (F.col("term") < upper)
+            )
+        rows = (
+            df.distinct()
+            .filter(F.col("term").rlike(f"^{regex}$"))
+            .orderBy("term")
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def wildcard_search(
+        self, pattern: str, k: int = 10, max_terms: int = 50
+    ) -> DataFrame:
+        """Wildcard query scored as ``rewrite: scoring_boolean``."""
+        terms = self.expand_wildcard(pattern, max_terms)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(" ".join(terms), k=k, mode="or")
+
+    def wildcard_match_count(self, pattern: str, max_terms: int = 50) -> int:
+        terms = self.expand_wildcard(pattern, max_terms)
+        return self.match_count(" ".join(terms), mode="or") if terms else 0
+
     def prefix_search(
         self, prefix: str, k: int = 10, max_terms: int = 50
     ) -> DataFrame:

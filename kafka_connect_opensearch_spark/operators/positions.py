@@ -195,18 +195,33 @@ def build_segment_positions(
 # --------------------------------------------------------------------------
 
 
-def _decode_groups(pdf: pd.DataFrame) -> dict[str, dict[int, np.ndarray]]:
-    """Packed rows (any mix of terms, ONE doc-disjoint group) →
-    ``{term: {doc_id: ascending positions array}}``.
+# Headroom inside a doc slot for +1 chain arithmetic: phrases longer than
+# this many tokens are rejected (no realistic phrase approaches it).
+_KEY_MARGIN = 128
 
-    One vectorized varint pass per column (varint_decode_concat) — the
-    only Python loop is over (term, doc) entries of the query terms, the
-    same envelope the intersection itself walks."""
+_EMPTY_KEYED: tuple[dict, np.ndarray, int] = (
+    {}, np.empty(0, dtype=np.int64), _KEY_MARGIN + 2
+)
+
+
+def _decode_group_keyed(
+    pdf: pd.DataFrame,
+) -> tuple[dict[str, np.ndarray], np.ndarray, int]:
+    """Packed rows (any mix of terms, ONE doc-disjoint group) →
+    ``({term: sorted keyed positions}, doc_id lookup, M)`` where
+    ``key = doc_slot·M + pos``, ``doc_slot`` indexes the lookup array, and
+    ``M`` exceeds every position by ≥ _KEY_MARGIN so chain (+1) arithmetic
+    never crosses a doc boundary.
+
+    Fully vectorized: one varint pass per column, one searchsorted for
+    slot assignment, one sort per query term — the per-doc Python loops
+    of the naive design are gone, so a stopword phrase over millions of
+    positions stays in numpy."""
     if not len(pdf):
-        return {}
+        return _EMPTY_KEYED
     d_vals, d_row = codec.varint_decode_concat(list(pdf["doc_ids"]))
     if d_vals.size == 0:
-        return {}
+        return _EMPTY_KEYED
     row_change = np.empty(d_row.size, dtype=bool)
     row_change[0] = True
     np.not_equal(d_row[1:], d_row[:-1], out=row_change[1:])
@@ -218,66 +233,120 @@ def _decode_groups(pdf: pd.DataFrame) -> dict[str, dict[int, np.ndarray]]:
     p_vals, _ = codec.varint_decode_concat(list(pdf["positions"]))
     starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
     pos = codec.cumsum_with_resets(p_vals.astype(np.int64), starts)
-    term_of_doc = pdf["term"].to_numpy()[d_row]
-    ends = starts + cnts
-    out: dict[str, dict[int, np.ndarray]] = {}
-    for t, d, s, e in zip(term_of_doc, ids, starts, ends, strict=True):
-        out.setdefault(t, {})[int(d)] = pos[s:e]
-    return out
+    lookup = np.unique(ids)
+    slots = np.searchsorted(lookup, ids)
+    M = int(pos.max()) + 2 + _KEY_MARGIN
+    keys = np.repeat(slots, cnts) * M + pos
+    term_of_entry = pdf["term"].to_numpy()[d_row]
+    term_of_pos = np.repeat(term_of_entry, cnts)
+    out: dict[str, np.ndarray] = {}
+    for t in np.unique(term_of_entry):
+        k = keys[term_of_pos == t]
+        k.sort()  # entries of a term may interleave docs across rows
+        out[t] = k
+    return out, lookup, M
 
 
-def _phrase_occ(
-    per_term: dict[str, dict[int, np.ndarray]], terms: list[str]
-) -> dict[int, int]:
-    """doc_id → phrase occurrence count (consecutive-position chains;
-    overlapping occurrences count, matching the SQL chain-join oracle)."""
-    if any(t not in per_term for t in terms):
-        return {}
-    cand = set(per_term[terms[0]])
+def _phrase_occ_keyed(
+    keyed: dict[str, np.ndarray],
+    lookup: np.ndarray,
+    M: int,
+    terms: list[str],
+) -> pd.DataFrame:
+    """(doc_id, tf) of phrase matches — tf counts consecutive-position
+    chains (overlapping occurrences count, matching the SQL chain-join
+    oracle). The WHOLE group intersects at once: one ``intersect1d`` per
+    chain step over keyed positions, never a per-doc loop."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "tf": pd.Series([], dtype="int64")}
+    )
+    if len(terms) >= _KEY_MARGIN:
+        raise ValueError(f"phrase longer than {_KEY_MARGIN} tokens")
+    if any(t not in keyed for t in terms):
+        return empty
+    live = keyed[terms[0]]
     for t in terms[1:]:
-        cand &= set(per_term[t])
-    out: dict[int, int] = {}
-    for d in cand:
-        live = per_term[terms[0]][d]
-        for t in terms[1:]:
-            live = np.intersect1d(live + 1, per_term[t][d], assume_unique=True)
-            if live.size == 0:
-                break
-        if live.size:
-            out[int(d)] = int(live.size)
-    return out
+        if live.size == 0:
+            return empty
+        live = np.intersect1d(live + 1, keyed[t], assume_unique=True)
+    if live.size == 0:
+        return empty
+    slots, counts = np.unique(live // M, return_counts=True)
+    return pd.DataFrame(
+        {"doc_id": lookup[slots].astype("int64"),
+         "tf": counts.astype("int64")}
+    )
 
 
-def _near_docs(
-    per_term: dict[str, dict[int, np.ndarray]],
+def _phrase_prefix_hits_keyed(
+    keyed: dict[str, np.ndarray],
+    lookup: np.ndarray,
+    M: int,
+    lead: list[str],
+    expansions: list[str],
+) -> np.ndarray:
+    """doc_ids where the ``lead`` tokens form a consecutive chain whose
+    next position holds ANY of the ``expansions`` (match_phrase_prefix
+    semantics after the last token's dictionary expansion)."""
+    exp_present = [t for t in expansions if t in keyed]
+    if not exp_present:
+        return np.empty(0, dtype=np.int64)
+    if not lead:
+        allk = np.concatenate([keyed[t] for t in exp_present])
+        return lookup[np.unique(allk // M)].astype(np.int64)
+    if any(t not in keyed for t in lead):
+        return np.empty(0, dtype=np.int64)
+    live = keyed[lead[0]]
+    for t in lead[1:]:
+        if live.size == 0:
+            return np.empty(0, dtype=np.int64)
+        live = np.intersect1d(live + 1, keyed[t], assume_unique=True)
+    if live.size == 0:
+        return np.empty(0, dtype=np.int64)
+    nxt = live + 1
+    hits = [
+        np.intersect1d(nxt, keyed[t], assume_unique=True)
+        for t in exp_present
+    ]
+    allk = np.concatenate(hits)
+    if allk.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return lookup[np.unique(allk // M)].astype(np.int64)
+
+
+def _near_docs_keyed(
+    keyed: dict[str, np.ndarray],
+    lookup: np.ndarray,
+    M: int,
     term_a: str,
     term_b: str,
     slop: int,
-) -> list[int]:
-    """doc_ids where the two terms occur within ``slop`` positions —
-    vectorized merge-walk min distance over the two sorted arrays."""
-    pa_pos = per_term.get(term_a, {})
-    pb_pos = per_term.get(term_b, {})
-    hits = []
-    for d in set(pa_pos) & set(pb_pos):
-        a, b = pa_pos[d], pb_pos[d]
-        idx = np.searchsorted(b, a)
-        best = np.inf
-        right = idx < b.size
-        if right.any():
-            best = min(best, int(np.min(b[idx[right]] - a[right])))
-        left = idx > 0
-        if left.any():
-            best = min(best, int(np.min(a[left] - b[idx[left] - 1])))
-        if best <= slop:
-            hits.append(int(d))
-    return sorted(hits)
-
-
-def _occ_pdf(occ: dict[int, int]) -> pd.DataFrame:
-    return pd.DataFrame(
-        sorted(occ.items()), columns=["doc_id", "tf"]
-    ).astype({"doc_id": "int64", "tf": "int64"})
+) -> np.ndarray:
+    """doc_ids where the two terms occur within ``slop`` positions.
+    Vectorized across ALL docs: for every occurrence of A, its key-order
+    neighbors in B are the nearest B positions within the same doc (key
+    order = position order inside a doc slot); cross-doc neighbors are
+    masked by an explicit same-slot check, so any slop value is exact."""
+    ka = keyed.get(term_a)
+    kb = keyed.get(term_b)
+    if ka is None or kb is None or ka.size == 0 or kb.size == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.searchsorted(kb, ka)
+    hit = np.zeros(ka.size, dtype=bool)
+    right = idx < kb.size
+    if right.any():
+        nb = kb[idx[right]]
+        av = ka[right]
+        hit[right] |= (nb // M == av // M) & (nb - av <= slop)
+    left = idx > 0
+    if left.any():
+        nb = kb[idx[left] - 1]
+        av = ka[left]
+        hit[left] |= (nb // M == av // M) & (av - nb <= slop)
+    if not hit.any():
+        return np.empty(0, dtype=np.int64)
+    return lookup[np.unique(ka[hit] // M)].astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -425,6 +494,41 @@ class PositionsReader:
             .applyInPandas(group_fn, schema=schema)
         )
 
+    def phrase_match_ids(self, phrase: str) -> list[int]:
+        """Native phrase match: matching doc_ids as plain Python — the
+        engine-latency path (no Spark job, no DataFrame round-trip), always
+        coordinator-local. Identical results to :meth:`phrase_docs` (same
+        numpy cores)."""
+        terms = tokenize_py(phrase)
+        if not terms:
+            return []
+        uniq = sorted(set(terms))
+        if any(t not in self.term_entries(uniq) for t in uniq):
+            return []
+        rows = self._local_rows(uniq)
+        out: list[int] = []
+        for _, g in rows.groupby(["seg", "part"], sort=False):
+            keyed, lookup, m = _decode_group_keyed(g)
+            out.extend(
+                _phrase_occ_keyed(keyed, lookup, m, terms)["doc_id"]
+            )
+        return sorted(out)
+
+    def near_match_ids(self, term_a: str, term_b: str, slop: int = 3) -> list[int]:
+        """Native NEAR match (engine-latency path, coordinator-local)."""
+        uniq = sorted({term_a, term_b})
+        entries = self.term_entries(uniq)
+        if any(t not in entries for t in uniq):
+            return []
+        rows = self._local_rows(uniq)
+        out: list[int] = []
+        for _, g in rows.groupby(["seg", "part"], sort=False):
+            keyed, lookup, m = _decode_group_keyed(g)
+            out.extend(
+                _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop)
+            )
+        return sorted(out)
+
     def phrase_occurrences(
         self, phrase: str, local_threshold: int = 2_000_000
     ) -> DataFrame:
@@ -435,7 +539,8 @@ class PositionsReader:
             return self.spark.createDataFrame([], "doc_id long, tf long")
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _occ_pdf(_phrase_occ(_decode_groups(pdf), terms))
+            keyed, lookup, m = _decode_group_keyed(pdf)
+            return _phrase_occ_keyed(keyed, lookup, m, terms)
 
         return self._run_grouped(
             terms,
@@ -455,6 +560,57 @@ class PositionsReader:
             "doc_id"
         )
 
+    def expand_prefix(self, prefix: str, max_terms: int = 50) -> list[str]:
+        """Prefix expansion against the positional store's term dictionary
+        (same vocabulary as the postings dictionary): range predicate on
+        the sorted term column, alphabetical ``max_terms`` cap."""
+        if not prefix:
+            return []
+        import pyarrow.dataset as pads
+
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        terms: set[str] = set()
+        for dset, names in self._positions_datasets():
+            flt = (pads.field("term") >= prefix) & (pads.field("term") < upper)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(columns=["term"], filter=flt)
+            terms.update(tbl["term"].to_pylist())
+        return sorted(terms)[:max_terms]
+
+    def phrase_prefix_docs(
+        self,
+        phrase_prefix: str,
+        max_expansions: int = 50,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """OpenSearch ``match_phrase_prefix``: the last token is a prefix;
+        matching docs contain the leading tokens at consecutive positions
+        immediately followed by ANY dictionary expansion of the prefix.
+        Same adaptive local/distributed split as :meth:`phrase_docs`."""
+        toks = tokenize_py(phrase_prefix)
+        empty_schema = "doc_id long"
+        if not toks:
+            return self.spark.createDataFrame([], empty_schema)
+        lead, prefix = toks[:-1], toks[-1]
+        expansions = self.expand_prefix(prefix, max_expansions)
+        if not expansions:
+            return self.spark.createDataFrame([], empty_schema)
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            keyed, lookup, m = _decode_group_keyed(pdf)
+            hits = _phrase_prefix_hits_keyed(keyed, lookup, m, lead,
+                                             expansions)
+            return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
+
+        return self._run_grouped(
+            lead + expansions,
+            fn,
+            empty_schema,
+            {"doc_id": pd.Series([], dtype="int64")},
+            local_threshold,
+        )
+
     def near_docs(
         self,
         term_a: str,
@@ -466,7 +622,8 @@ class PositionsReader:
         ``slop`` token positions of each other."""
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            hits = _near_docs(_decode_groups(pdf), term_a, term_b, slop)
+            keyed, lookup, m = _decode_group_keyed(pdf)
+            hits = _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop)
             return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
 
         return self._run_grouped(
@@ -513,7 +670,11 @@ class PositionsReader:
             rows = self._local_rows(uniq)
             occ: dict[int, int] = {}
             for _, g in rows.groupby(["seg", "part"], sort=False):
-                occ.update(_phrase_occ(_decode_groups(g), terms))
+                keyed, lookup, m = _decode_group_keyed(g)
+                part_occ = _phrase_occ_keyed(keyed, lookup, m, terms)
+                occ.update(
+                    zip(part_occ["doc_id"], part_occ["tf"], strict=True)
+                )
             if not occ:
                 return empty
             idf = bm25_idf(n_docs, len(occ))

@@ -270,6 +270,31 @@ def test_fuzzy_expansion_local_and_distributed_agree(spark, index_dir):
     assert reader.fuzzy_match_count("qqqqqqqq", max_edits=1) == 0
 
 
+def test_wildcard_expansion_and_count(spark, index_dir, corpus_pdf):
+    """Wildcard rewrite: full-pattern dictionary match, with the literal
+    prefix seeding a range scan; coordinator and distributed paths
+    agree; count equals the explicit OR count."""
+    reader = IndexReader(spark, index_dir)
+    assert reader.expand_wildcard("retur*") == ["return"]
+    assert reader.expand_wildcard("?eturn") == ["return"]
+    vocab = {t for toks in corpus_pdf["content"].str.split() for t in toks}
+    want = sorted(t for t in vocab if t.endswith("urn"))[:50]
+    assert reader.expand_wildcard("*urn") == want      # leading wildcard
+    assert reader.expand_wildcard("*urn", local_threshold=0) == want
+    assert (
+        reader.expand_wildcard("ret*", local_threshold=0)
+        == reader.expand_wildcard("ret*")
+    )
+    assert reader.expand_wildcard("zz*qq") == []
+    exp = reader.expand_wildcard("ident_1?")
+    assert exp == sorted(
+        t for t in vocab
+        if t.startswith("ident_1") and len(t) == len("ident_1") + 1
+    )[:50]
+    n = reader.wildcard_match_count("retur*")
+    assert n == reader.match_count("return", mode="or")
+
+
 def test_postings_scan_pushdown(spark, index_dir):
     """Query-term lookup must push the IN-filter into the parquet scan."""
     reader = IndexReader(spark, index_dir)

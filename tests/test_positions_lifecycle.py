@@ -32,6 +32,7 @@ FIXTURE = [
     (6, ""),
     (7, "alpha omega beta"),       # alpha..beta distance 2
     (8, "alpha x y z beta"),       # alpha..beta distance 4
+    (9, "alpha om gamma"),         # 'om' shares the 'o' prefix with omega
 ]
 
 
@@ -65,6 +66,24 @@ def test_positions_bulk_layout_phrase_and_near(spark, tmp_path):
     assert len(topk) == 3
     scores = [r["score"] for r in topk]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_prefix_match(spark, tmp_path):
+    """match_phrase_prefix: leading chain + any expansion of the trailing
+    prefix at the next position; multi-expansion prefixes take the union;
+    distributed path agrees."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    # 'o' expands to {om, omega}: doc 7 has 'alpha omega', doc 9 'alpha om'
+    assert _ids(pr.phrase_prefix_docs("alpha o")) == [7, 9]
+    assert _ids(pr.phrase_prefix_docs("alpha b")) == [1, 2, 4]
+    assert _ids(pr.phrase_prefix_docs("alpha g")) == []   # never adjacent
+    # single-token prefix → any doc containing an expansion
+    assert _ids(pr.phrase_prefix_docs("be")) == [1, 2, 3, 4, 7, 8]
+    assert _ids(pr.phrase_prefix_docs("nosuch x")) == []
+    assert _ids(pr.phrase_prefix_docs("alpha o", local_threshold=0)) == [7, 9]
+    assert pr.expand_prefix("o") == ["om", "omega"]
+    assert pr.expand_prefix("o", max_terms=1) == ["om"]
 
 
 def test_positions_distributed_path_parity(spark, tmp_path):
