@@ -204,19 +204,43 @@ _EMPTY_KEYED: tuple[dict, np.ndarray, int] = (
 )
 
 
-def _decode_group_keyed(
-    pdf: pd.DataFrame,
-) -> tuple[dict[str, np.ndarray], np.ndarray, int]:
-    """Packed rows (any mix of terms, ONE doc-disjoint group) →
-    ``({term: sorted keyed positions}, doc_id lookup, M)`` where
-    ``key = doc_slot·M + pos``, ``doc_slot`` indexes the lookup array, and
-    ``M`` exceeds every position by ≥ _KEY_MARGIN so chain (+1) arithmetic
-    never crosses a doc boundary.
+def _group_codes(rows: pd.DataFrame) -> np.ndarray:
+    """Int code per row identifying its doc-disjoint (seg, part) group."""
+    return pd.factorize(
+        rows["seg"].astype(str) + "\x1f" + rows["part"].astype(str)
+    )[0].astype(np.int64)
 
-    Fully vectorized: one varint pass per column, one searchsorted for
-    slot assignment, one sort per query term — the per-doc Python loops
-    of the naive design are gone, so a stopword phrase over millions of
-    positions stays in numpy."""
+
+def _decode_keyed(
+    pdf: pd.DataFrame,
+    group_of_row: np.ndarray | None = None,
+    required_all: list[str] | None = None,
+    required_any: list[str] | None = None,
+) -> tuple[dict[str, np.ndarray], np.ndarray, int]:
+    """Packed rows → ``({term: sorted keyed positions}, doc_id lookup, M)``
+    where ``key = slot·M + pos``, ``slot`` indexes the lookup array, and
+    ``M`` exceeds every position by ≥ _KEY_MARGIN so chain (+1) / slop
+    arithmetic never crosses a slot boundary.
+
+    ``group_of_row``: optional int code per input row identifying its
+    doc-disjoint (seg, part) group — slots then key on (group, doc), so
+    ONE decode pass handles the whole coordinator read (hundreds of
+    groups) with per-group-exact semantics and none of the per-group call
+    overhead. None = the rows are already one group (distributed path:
+    each applyInPandas task sees a single group).
+
+    ``required_all`` / ``required_any``: candidate pre-filter — positions
+    are decoded ONLY for docs carrying every ``required_all`` term and
+    (when given) at least one ``required_any`` term. This is Lucene's
+    lead-iterator behavior: a rare+stopword phrase decodes the stopword's
+    positions only for the rare term's docs, not corpus-wide. Exact — a
+    dropped doc is missing a required term and can never match. The doc
+    and count streams (entry-level, ~positions/dl smaller) always decode
+    in full; the position stream is byte-sliced per surviving entry
+    (deltas reset per doc, so slices decode independently).
+
+    Fully vectorized: one varint pass per column, one lexsort for slot
+    assignment, one sort per query term — no per-doc Python."""
     if not len(pdf):
         return _EMPTY_KEYED
     d_vals, d_row = codec.varint_decode_concat(list(pdf["doc_ids"]))
@@ -230,18 +254,76 @@ def _decode_group_keyed(
     )
     c_vals, _ = codec.varint_decode_concat(list(pdf["pos_counts"]))
     cnts = c_vals.astype(np.int64)
-    p_vals, _ = codec.varint_decode_concat(list(pdf["positions"]))
+    if group_of_row is None:
+        lookup = np.unique(ids)
+        slots = np.searchsorted(lookup, ids)
+    else:
+        gid = group_of_row[d_row]
+        order = np.lexsort((ids, gid))
+        new = np.empty(ids.size, dtype=bool)
+        new[0] = True
+        new[1:] = (gid[order][1:] != gid[order][:-1]) | (
+            ids[order][1:] != ids[order][:-1]
+        )
+        slot_sorted = np.cumsum(new) - 1
+        slots = np.empty(ids.size, dtype=np.int64)
+        slots[order] = slot_sorted
+        lookup = ids[order][new]
+
+    # int term codes: string comparisons over the position stream would
+    # cost ~100 ms per term on multi-million-position stopword lists
+    tcodes, tuniq = pd.factorize(pdf["term"])
+    tmap = {t: i for i, t in enumerate(tuniq)}
+    entry_t = tcodes[d_row]
+
+    keep = None
+    if required_all or required_any:
+        n_slots = lookup.size
+        ok = np.ones(n_slots, dtype=bool)
+        for t in required_all or []:
+            ci = tmap.get(t)
+            if ci is None:
+                return _EMPTY_KEYED
+            has = np.zeros(n_slots, dtype=bool)
+            has[slots[entry_t == ci]] = True
+            ok &= has
+        if required_any:
+            anyh = np.zeros(n_slots, dtype=bool)
+            for t in required_any:
+                ci = tmap.get(t)
+                if ci is not None:
+                    anyh[slots[entry_t == ci]] = True
+            ok &= anyh
+        keep = ok[slots]
+        if not keep.any():
+            return _EMPTY_KEYED
+        if keep.all():
+            keep = None
+
+    raw = b"".join(pdf["positions"])
+    if keep is None:
+        p_vals = codec.varint_decode(raw)
+    else:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        vend = np.nonzero((arr & 0x80) == 0)[0]
+        byte_ends = vend[np.cumsum(cnts) - 1] + 1
+        byte_starts = np.concatenate(([0], byte_ends[:-1]))
+        p_vals = codec.varint_decode(
+            b"".join(
+                raw[int(s):int(e)]
+                for s, e in zip(byte_starts[keep], byte_ends[keep],
+                                strict=True)
+            )
+        )
+        cnts, slots, entry_t = cnts[keep], slots[keep], entry_t[keep]
     starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
     pos = codec.cumsum_with_resets(p_vals.astype(np.int64), starts)
-    lookup = np.unique(ids)
-    slots = np.searchsorted(lookup, ids)
-    M = int(pos.max()) + 2 + _KEY_MARGIN
+    M = (int(pos.max()) if pos.size else 0) + 2 + _KEY_MARGIN
     keys = np.repeat(slots, cnts) * M + pos
-    term_of_entry = pdf["term"].to_numpy()[d_row]
-    term_of_pos = np.repeat(term_of_entry, cnts)
+    code_of_pos = np.repeat(entry_t, cnts)
     out: dict[str, np.ndarray] = {}
-    for t in np.unique(term_of_entry):
-        k = keys[term_of_pos == t]
+    for ci, t in enumerate(tuniq):
+        k = keys[code_of_pos == ci]
         k.sort()  # entries of a term may interleave docs across rows
         out[t] = k
     return out, lookup, M
@@ -459,15 +541,18 @@ class PositionsReader:
     def _run_grouped(
         self,
         terms: list[str],
-        group_fn,
+        core,
         schema: str,
         empty_cols: dict,
         local_threshold: int,
+        decode_kwargs: dict | None = None,
     ) -> DataFrame:
-        """Shared adaptive executor: ``group_fn(pdf) -> pdf`` runs once per
-        doc-disjoint (seg, part) group; union of group results is exact.
-        Under the threshold the same function runs coordinator-side over a
-        pyarrow scan — results are identical by construction."""
+        """Shared adaptive executor: ``core(keyed, lookup, M) -> pdf``
+        runs over doc-disjoint slots; union across (seg, part) groups is
+        exact. Under the threshold the coordinator decodes the WHOLE
+        pyarrow read in one vectorized pass (slots keyed on (group, doc)),
+        above it each applyInPandas task decodes its single group —
+        identical results by construction."""
         uniq = sorted(set(terms))
         entries = self.term_entries(uniq)
         empty_pdf = pd.DataFrame(empty_cols)
@@ -477,21 +562,21 @@ class PositionsReader:
             rows = self._local_rows(uniq)
             if not len(rows):
                 return self.spark.createDataFrame(empty_pdf, schema)
-            outs = [
-                group_fn(g)
-                for _, g in rows.groupby(["seg", "part"], sort=False)
-            ]
-            outs = [o for o in outs if len(o)]
+            kw = decode_kwargs or {}
+            out = core(*_decode_keyed(rows, _group_codes(rows), **kw))
             merged = (
-                pd.concat(outs, ignore_index=True).sort_values("doc_id")
-                if outs
+                out.sort_values("doc_id", ignore_index=True)
+                if len(out)
                 else empty_pdf
             )
             return self.spark.createDataFrame(merged, schema)
+        kw = decode_kwargs or {}
         return (
             self._spark_rows(uniq)
             .groupBy("seg", "part")
-            .applyInPandas(group_fn, schema=schema)
+            .applyInPandas(
+                lambda pdf: core(*_decode_keyed(pdf, **kw)), schema=schema
+            )
         )
 
     def phrase_match_ids(self, phrase: str) -> list[int]:
@@ -506,13 +591,9 @@ class PositionsReader:
         if any(t not in self.term_entries(uniq) for t in uniq):
             return []
         rows = self._local_rows(uniq)
-        out: list[int] = []
-        for _, g in rows.groupby(["seg", "part"], sort=False):
-            keyed, lookup, m = _decode_group_keyed(g)
-            out.extend(
-                _phrase_occ_keyed(keyed, lookup, m, terms)["doc_id"]
-            )
-        return sorted(out)
+        keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
+                                         required_all=uniq)
+        return sorted(_phrase_occ_keyed(keyed, lookup, m, terms)["doc_id"])
 
     def near_match_ids(self, term_a: str, term_b: str, slop: int = 3) -> list[int]:
         """Native NEAR match (engine-latency path, coordinator-local)."""
@@ -521,13 +602,9 @@ class PositionsReader:
         if any(t not in entries for t in uniq):
             return []
         rows = self._local_rows(uniq)
-        out: list[int] = []
-        for _, g in rows.groupby(["seg", "part"], sort=False):
-            keyed, lookup, m = _decode_group_keyed(g)
-            out.extend(
-                _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop)
-            )
-        return sorted(out)
+        keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
+                                         required_all=uniq)
+        return sorted(_near_docs_keyed(keyed, lookup, m, term_a, term_b, slop))
 
     def phrase_occurrences(
         self, phrase: str, local_threshold: int = 2_000_000
@@ -538,17 +615,17 @@ class PositionsReader:
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, tf long")
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            keyed, lookup, m = _decode_group_keyed(pdf)
+        def core(keyed, lookup, m) -> pd.DataFrame:
             return _phrase_occ_keyed(keyed, lookup, m, terms)
 
         return self._run_grouped(
             terms,
-            fn,
+            core,
             "doc_id long, tf long",
             {"doc_id": pd.Series([], dtype="int64"),
              "tf": pd.Series([], dtype="int64")},
             local_threshold,
+            decode_kwargs={"required_all": sorted(set(terms))},
         )
 
     def phrase_docs(
@@ -597,18 +674,21 @@ class PositionsReader:
         if not expansions:
             return self.spark.createDataFrame([], empty_schema)
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            keyed, lookup, m = _decode_group_keyed(pdf)
+        def core(keyed, lookup, m) -> pd.DataFrame:
             hits = _phrase_prefix_hits_keyed(keyed, lookup, m, lead,
                                              expansions)
             return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
 
         return self._run_grouped(
             lead + expansions,
-            fn,
+            core,
             empty_schema,
             {"doc_id": pd.Series([], dtype="int64")},
             local_threshold,
+            decode_kwargs={
+                "required_all": sorted(set(lead)),
+                "required_any": expansions,
+            },
         )
 
     def near_docs(
@@ -621,17 +701,17 @@ class PositionsReader:
         """Proximity (NEAR) query: docs where the two terms occur within
         ``slop`` token positions of each other."""
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            keyed, lookup, m = _decode_group_keyed(pdf)
+        def core(keyed, lookup, m) -> pd.DataFrame:
             hits = _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop)
             return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
 
         return self._run_grouped(
             [term_a, term_b],
-            fn,
+            core,
             "doc_id long",
             {"doc_id": pd.Series([], dtype="int64")},
             local_threshold,
+            decode_kwargs={"required_all": sorted({term_a, term_b})},
         )
 
     def phrase_topk(
@@ -668,13 +748,12 @@ class PositionsReader:
         reader = IndexReader(self.spark, self.store.index_dir)
         if sum(entries.values()) <= local_threshold:
             rows = self._local_rows(uniq)
-            occ: dict[int, int] = {}
-            for _, g in rows.groupby(["seg", "part"], sort=False):
-                keyed, lookup, m = _decode_group_keyed(g)
-                part_occ = _phrase_occ_keyed(keyed, lookup, m, terms)
-                occ.update(
-                    zip(part_occ["doc_id"], part_occ["tf"], strict=True)
-                )
+            keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
+                                             required_all=uniq)
+            part_occ = _phrase_occ_keyed(keyed, lookup, m, terms)
+            occ: dict[int, int] = dict(
+                zip(part_occ["doc_id"], part_occ["tf"], strict=True)
+            )
             if not occ:
                 return empty
             idf = bm25_idf(n_docs, len(occ))

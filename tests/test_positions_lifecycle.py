@@ -159,6 +159,20 @@ def test_positions_follow_merge_latest_wins_and_deletes(spark, tmp_path):
     assert pr.near_docs("delta", "alpha", slop=2).count() == 0
 
 
+def test_positions_distributed_scan_pushdown(spark, tmp_path):
+    """The distributed positional read must push the query-term IN-filter
+    into the parquet scan (sorted-term layout prunes row groups) — the
+    100× guarantee that a phrase query reads only its terms' rows."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    plan = executed_plan(pr._spark_rows(["alpha", "beta"]))  # noqa: SLF001
+    assert "PushedFilters" in plan and "alpha" in plan
+    dist = pr.phrase_docs("alpha beta", local_threshold=0)
+    dplan = executed_plan(dist)
+    assert "FlatMapGroupsInPandas" in dplan
+    assert "alpha" in dplan  # term filter present in the distributed plan
+
+
 def test_positions_reader_requires_flag(spark, tmp_path):
     docs = spark.createDataFrame([(1, "alpha beta")],
                                  "doc_id long, text string")
