@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--id-cols", default="repo,path,commit")
     ap.add_argument("--doc-id-col", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--positions", action="store_true",
+        help="index token positions (phrase/NEAR/phrase-prefix queries)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("kcos-index-build").getOrCreate()
@@ -45,7 +49,11 @@ def main() -> None:
     shuffle = args.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    cfg = EngineConfig(num_segments=args.segments, shuffle_partitions=shuffle)
+    cfg = EngineConfig(
+        num_segments=args.segments,
+        shuffle_partitions=shuffle,
+        index_positions=args.positions,
+    )
     source = spark.read.parquet(args.source)
     build = build_index_bulk if args.mode == "bulk" else build_index
     metrics = build(
