@@ -391,6 +391,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_RADIUS = 2  # LSH probe radius for the scale-path near-dup join
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup path: integer sign-LSH bucket
+    candidates (hamming ≤ NEARDUP_RADIUS over ANN_PLANES bits) + exact
+    cosine verify — never a cartesian product. The oracle reproduces the
+    identical candidate set (integer buckets) and verify in SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(
+        emb, COSINE_PAIR_THRESHOLD, dim=ANN_DIM, n_planes=ANN_PLANES,
+        probe_radius=NEARDUP_RADIUS,
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3).select(
@@ -856,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_join": q_knn_join,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1235,6 +1251,25 @@ SELECT vec_id, cosine FROM (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({cos}, 6) >= {COSINE_PAIR_THRESHOLD}
+""",
+        "embedding_near_dup_lsh": f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000)::BIGINT) AS vi
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding, ({_ann_bucket_sql('vi')})::BIGINT AS bucket
+  FROM base
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine
+  FROM b a JOIN b c
+    ON a.vec_id < c.vec_id
+   AND bit_count(xor(a.bucket, c.bucket)) <= {NEARDUP_RADIUS}
+) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
 """,
         "knn_join": f"""
 SELECT probe_id, vec_id, cosine, rank FROM (

@@ -324,7 +324,11 @@ def _decode_keyed(
     out: dict[str, np.ndarray] = {}
     for ci, t in enumerate(tuniq):
         k = keys[code_of_pos == ci]
-        k.sort()  # entries of a term may interleave docs across rows
+        # entries within a row are doc-ascending, so k is usually a few
+        # ascending runs (often exactly one); the O(n) check beats an
+        # unconditional O(n log n) sort on multi-million-position terms
+        if k.size > 1 and not (k[1:] >= k[:-1]).all():
+            k.sort()
         out[t] = k
     return out, lookup, M
 
@@ -530,7 +534,12 @@ class PositionsReader:
                     "doc_ids", "pos_counts", "positions",
                 ]
             )
-        return pd.concat(parts, ignore_index=True)
+        # group-sorted rows make each term's keyed positions come out
+        # ascending in _decode_keyed (slot ranks follow (group, doc)), so
+        # the per-term sort there degrades to an O(n) verify
+        return pd.concat(parts, ignore_index=True).sort_values(
+            ["seg", "part"], ignore_index=True, kind="stable"
+        )
 
     def _spark_rows(self, terms: list[str]) -> DataFrame:
         """Distributed read of the query terms' rows (filter pushed to the

@@ -190,6 +190,63 @@ def query_bucket(query_vec, planes: list[list[int]]) -> int:
     return b
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    probe_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: sign-LSH bucket candidates
+    (pairs whose integer buckets differ in ≤ ``probe_radius`` bits) +
+    exact rounded-cosine verify ≥ ``threshold``.
+
+    The all-pairs crossJoin is O(n²) and exists only as a correctness
+    baseline; this is the 100 TB path: one bucket projection, a neighbor
+    expansion bounded by C(n_planes, ≤radius) rows per vector, and a join
+    keyed on bucket — never a cartesian product. Precision is exact (every
+    candidate is cosine-verified); recall is the sign-LSH collision
+    probability (rising with probe_radius). Buckets are integer-
+    deterministic (md5 planes over quantized vectors), so a SQL oracle
+    reproduces the candidate set bit-identically."""
+    planes = int_hyperplanes(dim, n_planes)
+    b = with_lsh_bucket(df, planes, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    masks = _hamming_neighbors(0, n_planes, probe_radius)  # XOR masks
+    a = b.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("bucket").alias("ba"),
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+    ).withColumn("nbr", F.col("ba").bitwiseXOR(F.col("m")))
+    cand = (
+        a.join(
+            b.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("bucket").alias("bb"),
+            ),
+            (F.col("nbr") == F.col("bb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        # a pair within distance < radius collides via several masks
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), round_to
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,

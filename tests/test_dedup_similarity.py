@@ -163,6 +163,38 @@ def vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_lsh_near_dup_pairs_precision_and_recall(spark, vectors):
+    """Scale-path cosine near-dup: every emitted pair must be a true pair
+    (exact verify ⇒ precision 1.0), and tight near-dups (vec_ids 0-4 share
+    a base vector with 5% noise, cosine ≈ 0.999) must be recalled — the
+    LSH collision probability at that angle is ~1 per plane."""
+    threshold = 0.9
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.lsh_near_dup_pairs(
+            vectors, threshold, dim=8, n_planes=8, probe_radius=2
+        ).collect()
+    }
+    rows = vectors.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    brute = {}
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a < b:
+                c = round(
+                    float(vecs[a] @ vecs[b]
+                          / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))),
+                    6,
+                )
+                if c >= threshold:
+                    brute[(a, b)] = c
+    assert set(got) <= set(brute)          # precision: no false pairs
+    for pair, cos in got.items():
+        assert cos == brute[pair]          # exact verified cosines
+    tight = {(a, b) for (a, b) in brute if a < 5 and b < 5}
+    assert tight <= set(got)               # recall on true near-dups
+
+
 def test_brute_force_topk_matches_numpy(spark, vectors):
     rows = vectors.collect()
     q = np.array(rows[0]["embedding"])
