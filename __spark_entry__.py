@@ -247,6 +247,24 @@ def q_phrase_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch highlight: BM25 top-k hits with a 5-token fragment cut
+    around the earliest query-term occurrence (plain-highlighter re-analyze
+    of the stored field; k-row broadcast join, never corpus-wide)."""
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        highlight_snippets,
+    )
+
+    reader = _get_index(spark, sf_dir)
+    hits = reader.search(BM25_QUERY, k=10, mode="or").select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    docs = _read(spark, sf_dir, "documents")
+    return highlight_snippets(
+        hits, docs, BM25_QUERY, id_col="doc_id", text_col="text"
+    )
+
+
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-after-rank: BM25 top-k doc_ids join back to the source
     table for stored fields (the index stores identity + stats, never a
@@ -855,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25_topk": q_phrase_bm25,
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
+        "search_highlight": q_search_highlight,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -1046,6 +1065,34 @@ SELECT count(*)::BIGINT AS n FROM (
 """
 
 
+def _search_highlight_sql() -> str:
+    """Top-k hits + plain-highlighter fragment: earliest query-term
+    occurrence, greatest(p-2, 1), 5-token window — identical arithmetic to
+    bm25.highlight_snippets (Spark slice(toks, s, 5) ≡ DuckDB
+    toks[s : s+4], both clamp at the array end)."""
+    big = 1 << 31
+    terms = sorted(set(BM25_QUERY.split()))
+    least_terms = ", ".join(
+        f"coalesce(nullif(list_position(toks, '{t}'), 0), {big})"
+        for t in terms
+    )
+    return f"""
+WITH hits AS ({_bm25_sql("or")}),
+d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+j AS (
+  SELECT h.doc_id, h.score, d.toks,
+         LEAST({least_terms})::BIGINT AS p
+  FROM hits h JOIN d USING (doc_id)
+)
+SELECT doc_id, score,
+       CASE WHEN p < {big}
+            THEN array_to_string(toks[greatest(p - 2, 1)
+                                      : greatest(p - 2, 1) + 4], ' ')
+       END AS snippet
+FROM j
+"""
+
+
 def _match_count_sql(mode: str) -> str:
     terms = sorted(set(COUNT_TERMS))
     inlist = ", ".join(f"'{t}'" for t in terms)
@@ -1107,6 +1154,7 @@ WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
   AND abs(a.pos - b.pos) <= {NEAR_SLOP}
 ORDER BY doc_id
 """,
+        "search_highlight": _search_highlight_sql(),
         "search_fetch": f"""
 WITH hits AS ({_bm25_sql("or")})
 SELECT d.doc_id, h.score, d.lang, d.source, d.n_chars

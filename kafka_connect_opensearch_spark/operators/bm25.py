@@ -573,6 +573,53 @@ class IndexReader:
         return int(out["n"])
 
 
+_NO_MATCH_POS = 1 << 31
+
+
+def highlight_snippets(
+    hits: DataFrame,
+    source: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    before: int = 2,
+    width: int = 5,
+) -> DataFrame:
+    """OpenSearch plain-highlighter analog: for each hit, re-analyze the
+    stored text and cut a ``width``-token fragment starting ``before``
+    tokens ahead of the EARLIEST occurrence of any query term
+    (HighlightBuilder's fragment around the best match; the plain
+    highlighter re-analyzes stored fields the same way).
+
+    Scale shape: ``hits`` is k rows — broadcast into the source join, so
+    tokenization + slicing are JVM array ops on k rows, never corpus-wide.
+    Hits whose text contains no query term get a NULL snippet (OpenSearch
+    returns no fragment for unmatched fields)."""
+    terms = sorted(set(tokenize_py(query)))
+    toks = F.expr(tokenize_expr(text_col))
+    pos_exprs = [
+        F.coalesce(
+            F.nullif(F.array_position(toks, F.lit(t)), F.lit(0)),
+            F.lit(_NO_MATCH_POS),
+        ).cast("long")
+        for t in terms
+    ]
+    p = F.least(*pos_exprs) if len(pos_exprs) > 1 else pos_exprs[0]
+    start = F.greatest(p - F.lit(before), F.lit(1))
+    joined = source.join(F.broadcast(hits), [id_col]) if id_col == "doc_id" \
+        else source.join(
+            F.broadcast(hits), source[id_col] == hits["doc_id"]
+        )
+    return joined.select(
+        F.col("doc_id"),
+        F.col("score"),
+        F.when(
+            p < F.lit(_NO_MATCH_POS),
+            F.concat_ws(" ", F.slice(toks, start, width)),
+        ).alias("snippet"),
+    )
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Unit-cost edit distance (insert/delete/substitute) — identical
     definition to Spark's and DuckDB's ``levenshtein``, so the coordinator
