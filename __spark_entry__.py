@@ -265,6 +265,20 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIG_QUERY = "spark"
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch significant_terms: terms over-represented in the match
+    set vs the index background, lift² score, deterministic top-k. The
+    index supplies both the match set and the background df."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return reader.significant_terms(
+        docs, SIG_QUERY, k=10, id_col="doc_id", text_col="text"
+    )
+
+
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-after-rank: BM25 top-k doc_ids join back to the source
     table for stored fields (the index stores identity + stats, never a
@@ -874,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
         "search_highlight": q_search_highlight,
+        "significant_terms": q_significant_terms,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -1155,6 +1170,27 @@ WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
 ORDER BY doc_id
 """,
         "search_highlight": _search_highlight_sql(),
+        "significant_terms": f"""
+WITH t AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+fgdocs AS (SELECT DISTINCT doc_id FROM u WHERE term = '{SIG_QUERY}'),
+fgs AS (SELECT count(*)::DOUBLE AS s FROM fgdocs),
+nn AS (SELECT count(*)::DOUBLE AS nv FROM documents),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM u
+  WHERE doc_id IN (SELECT doc_id FROM fgdocs) GROUP BY term
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM u GROUP BY term
+)
+SELECT term, fg_df, bg_df,
+       round((fg_df::DOUBLE / s) * (fg_df::DOUBLE / s)
+             / (bg_df::DOUBLE / nv), 6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN fgs CROSS JOIN nn
+ORDER BY score DESC, term ASC LIMIT 10
+""",
         "search_fetch": f"""
 WITH hits AS ({_bm25_sql("or")})
 SELECT d.doc_id, h.score, d.lang, d.source, d.n_chars

@@ -528,6 +528,73 @@ class IndexReader:
             .applyInPandas(and_docs, schema=counter_schema)
         )
 
+    def significant_terms(
+        self,
+        source: DataFrame,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        id_col: str = "doc_id",
+        text_col: str = "content",
+        round_to: int = 6,
+    ) -> DataFrame:
+        """OpenSearch ``significant_terms`` aggregation over the query's
+        match set: terms over-represented in the foreground (matching
+        docs) versus the background (whole index), scored with the simple
+        lift² measure ``(fg_df/fg_size)² / (bg_df/N)`` (the shape of
+        OpenSearch's JLH numerator) — deterministic (score desc, term asc)
+        top-k.
+
+        Execution: the index produces the match set (selective — the same
+        candidate-sliver story as phrase_match); only those docs' text is
+        re-analyzed for foreground df. Background df comes from the
+        index's postings stats (one ``(term, df)`` aggregation, no source
+        rescan). Both sides are keyed joins; nothing corpus-sized reaches
+        the driver."""
+        n_docs, _ = self._stats
+        empty = self.spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+        if n_docs == 0:
+            return empty
+        matches = self.match_docs(query, mode=mode)
+        fg_size = matches.count()
+        if fg_size == 0:
+            return empty
+        fg = (
+            source.join(
+                matches.withColumnRenamed("doc_id", "_m_id"),
+                source[id_col] == F.col("_m_id"),
+            )
+            .select(
+                F.col("_m_id").alias("doc_id"),
+                F.explode(
+                    F.array_distinct(F.expr(tokenize_expr(text_col)))
+                ).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_df"))
+        )
+        bg = (
+            self.postings(None)
+            .groupBy("term")
+            .agg(F.sum("df").alias("bg_df"))
+        )
+        fg_sz = float(fg_size)
+        n = float(n_docs)
+        score = F.round(
+            (F.col("fg_df") / F.lit(fg_sz))
+            * (F.col("fg_df") / F.lit(fg_sz))
+            / (F.col("bg_df") / F.lit(n)),
+            round_to,
+        )
+        return (
+            fg.join(bg, "term")
+            .select("term", "fg_df", "bg_df", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+        )
+
     def _local_topk(self, terms: list[str], scorer, k: int):
         """Coordinator-side scatter-gather: pyarrow-filtered postings scan
         → per-segment numpy scoring (same function as the distributed
