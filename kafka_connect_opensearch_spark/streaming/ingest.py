@@ -84,15 +84,11 @@ def start_streaming_index_build(
     are ingested as micro-batches, one segment per non-empty batch."""
     config = config or EngineConfig()
     store = SegmentStore(index_dir)
-    store.create_if_absent(
-        {
-            "analyzer": "lowercase_word",
-            "k1": config.k1,
-            "b": config.b,
-            "block_size": config.block_size,
-            "num_segments": -1,  # unbounded
-        }
-    )
+    from kafka_connect_opensearch_spark.operators.indexer import _index_meta
+
+    meta = _index_meta(config)
+    meta["num_segments"] = -1  # unbounded
+    store.create_if_absent(meta)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch may redeliver a batch after failure; the manifest

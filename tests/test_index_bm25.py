@@ -270,6 +270,67 @@ def test_fuzzy_expansion_local_and_distributed_agree(spark, index_dir):
     assert reader.fuzzy_match_count("qqqqqqqq", max_edits=1) == 0
 
 
+def test_highlight_snippets_match_python(spark, index_dir, corpus_pdf):
+    """Plain-highlighter fragments: earliest query-term occurrence,
+    greatest(p-2, 1), 5 tokens — verified against a direct python cut."""
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        highlight_snippets,
+    )
+
+    reader = IndexReader(spark, index_dir)
+    query = "ident_7 return"
+    src = spark.createDataFrame(corpus_pdf[["doc_id", "content"]])
+    hits = reader.search(query, k=5).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    out = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_snippets(hits, src, query).collect()
+    }
+    assert len(out) == 5
+    bydoc = dict(zip(corpus_pdf["doc_id"], corpus_pdf["content"],
+                     strict=True))
+    for d, snip in out.items():
+        toks = tokenize_py(bydoc[d])
+        ps = [toks.index(t) + 1 for t in ("ident_7", "return") if t in toks]
+        if not ps:
+            assert snip is None
+            continue
+        s = max(min(ps) - 2, 1)
+        assert snip == " ".join(toks[s - 1:s - 1 + 5])
+
+
+def test_significant_terms_matches_bruteforce(spark, index_dir, corpus_pdf):
+    """Lift² significant-terms: foreground df over the match set, index
+    background df, deterministic ordering — equals the python oracle."""
+    from collections import Counter
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    src = spark.createDataFrame(corpus_pdf[["doc_id", "content"]])
+    got = reader.significant_terms(src, "ident_7", k=5).collect()
+    toksets = {
+        int(r.doc_id): set(tokenize_py(r.content))
+        for _, r in corpus_pdf.iterrows()
+    }
+    fg_docs = [d for d, s in toksets.items() if "ident_7" in s]
+    fgs, n = float(len(fg_docs)), float(len(toksets))
+    fgc = Counter(t for d in fg_docs for t in toksets[d])
+    bgc = Counter(t for s in toksets.values() for t in s)
+    want = sorted(
+        (
+            (round((c / fgs) * (c / fgs) / (bgc[t] / n), 6), t, c)
+            for t, c in fgc.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:5]
+    assert [(r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in got] == [
+        (t, c, bgc[t], s) for s, t, c in want
+    ]
+
+
 def test_wildcard_expansion_and_count(spark, index_dir, corpus_pdf):
     """Wildcard rewrite: full-pattern dictionary match, with the literal
     prefix seeding a range scan; coordinator and distributed paths

@@ -226,3 +226,36 @@ def test_streaming_ingest(spark, tmp_path):
     want = brute_force_bm25(pdf, "ident_1 return", k=10, text_col="content")
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_streaming_ingest_with_positions(spark, tmp_path):
+    """Streaming segments carry positions when the mapping asks: phrase
+    queries over the stream-built index match a direct token-adjacency
+    reference over the same docs."""
+    from kafka_connect_opensearch_spark.operators.positions import (
+        PositionsReader,
+    )
+    from kafka_connect_opensearch_spark.sources.corpus import CORPUS_SCHEMA
+    from kafka_connect_opensearch_spark.streaming.ingest import (
+        start_streaming_index_build,
+    )
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    src_dir = str(tmp_path / "stream_src")
+    pdf = _oracle_pdf(40)
+    generate_corpus(spark, 40).write.parquet(src_dir, mode="append")
+    idx_dir = str(tmp_path / "sidx")
+    q = start_streaming_index_build(
+        spark, src_dir, CORPUS_SCHEMA, idx_dir, str(tmp_path / "ckpt"),
+        EngineConfig(num_segments=1, salt_partitions=2, index_positions=True),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+    pr = PositionsReader(spark, idx_dir)
+    got = pr.phrase_match_ids("return import")
+    want = sorted(
+        int(r.doc_id)
+        for _, r in pdf.iterrows()
+        if " return import " in f" {' '.join(tokenize_py(r.content))} "
+    )
+    assert got == want and len(want) > 0
