@@ -247,6 +247,16 @@ def q_phrase_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_match_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_near with in_order=true: NEAR_A must precede NEAR_B within
+    NEAR_SLOP positions (the directional variant of near_match)."""
+    return (
+        _get_positions(spark, sf_dir)
+        .near_docs(NEAR_A, NEAR_B, NEAR_SLOP, ordered=True)
+        .orderBy("doc_id")
+    )
+
+
 def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch highlight: BM25 top-k hits with a 5-token fragment cut
     around the earliest query-term occurrence (plain-highlighter re-analyze
@@ -889,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fetch": q_search_fetch,
         "search_highlight": q_search_highlight,
         "significant_terms": q_significant_terms,
+        "near_match_ordered": q_near_match_ordered,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -1167,6 +1178,20 @@ SELECT DISTINCT a.doc_id
 FROM p a JOIN p b USING (doc_id)
 WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
   AND abs(a.pos - b.pos) <= {NEAR_SLOP}
+ORDER BY doc_id
+""",
+        "near_match_ordered": f"""
+WITH p AS (
+  SELECT doc_id, t AS term, pos FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS t,
+           generate_subscripts({_toks_sql('text')}, 1) AS pos
+    FROM documents
+  ) WHERE t IN ('{NEAR_A}', '{NEAR_B}')
+)
+SELECT DISTINCT a.doc_id
+FROM p a JOIN p b USING (doc_id)
+WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
+  AND b.pos > a.pos AND b.pos - a.pos <= {NEAR_SLOP}
 ORDER BY doc_id
 """,
         "search_highlight": _search_highlight_sql(),

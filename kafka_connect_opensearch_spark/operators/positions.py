@@ -408,12 +408,16 @@ def _near_docs_keyed(
     term_a: str,
     term_b: str,
     slop: int,
+    ordered: bool = False,
 ) -> np.ndarray:
     """doc_ids where the two terms occur within ``slop`` positions.
     Vectorized across ALL docs: for every occurrence of A, its key-order
     neighbors in B are the nearest B positions within the same doc (key
     order = position order inside a doc slot); cross-doc neighbors are
-    masked by an explicit same-slot check, so any slop value is exact."""
+    masked by an explicit same-slot check, so any slop value is exact.
+
+    ``ordered=True`` is span_near's ``in_order``: only B occurrences AFTER
+    the A occurrence count (the left-neighbor check is skipped)."""
     ka = keyed.get(term_a)
     kb = keyed.get(term_b)
     if ka is None or kb is None or ka.size == 0 or kb.size == 0:
@@ -425,11 +429,12 @@ def _near_docs_keyed(
         nb = kb[idx[right]]
         av = ka[right]
         hit[right] |= (nb // M == av // M) & (nb - av <= slop)
-    left = idx > 0
-    if left.any():
-        nb = kb[idx[left] - 1]
-        av = ka[left]
-        hit[left] |= (nb // M == av // M) & (av - nb <= slop)
+    if not ordered:
+        left = idx > 0
+        if left.any():
+            nb = kb[idx[left] - 1]
+            av = ka[left]
+            hit[left] |= (nb // M == av // M) & (av - nb <= slop)
     if not hit.any():
         return np.empty(0, dtype=np.int64)
     return lookup[np.unique(ka[hit] // M)].astype(np.int64)
@@ -604,7 +609,9 @@ class PositionsReader:
                                          required_all=uniq)
         return sorted(_phrase_occ_keyed(keyed, lookup, m, terms)["doc_id"])
 
-    def near_match_ids(self, term_a: str, term_b: str, slop: int = 3) -> list[int]:
+    def near_match_ids(
+        self, term_a: str, term_b: str, slop: int = 3, ordered: bool = False
+    ) -> list[int]:
         """Native NEAR match (engine-latency path, coordinator-local)."""
         uniq = sorted({term_a, term_b})
         entries = self.term_entries(uniq)
@@ -613,7 +620,9 @@ class PositionsReader:
         rows = self._local_rows(uniq)
         keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
                                          required_all=uniq)
-        return sorted(_near_docs_keyed(keyed, lookup, m, term_a, term_b, slop))
+        return sorted(
+            _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop, ordered)
+        )
 
     def phrase_occurrences(
         self, phrase: str, local_threshold: int = 2_000_000
@@ -705,13 +714,17 @@ class PositionsReader:
         term_a: str,
         term_b: str,
         slop: int = 3,
+        ordered: bool = False,
         local_threshold: int = 2_000_000,
     ) -> DataFrame:
         """Proximity (NEAR) query: docs where the two terms occur within
-        ``slop`` token positions of each other."""
+        ``slop`` token positions of each other. ``ordered=True`` is
+        span_near's ``in_order`` — only A-then-B occurrences match."""
 
         def core(keyed, lookup, m) -> pd.DataFrame:
-            hits = _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop)
+            hits = _near_docs_keyed(
+                keyed, lookup, m, term_a, term_b, slop, ordered
+            )
             return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
 
         return self._run_grouped(

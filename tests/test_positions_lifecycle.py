@@ -59,6 +59,14 @@ def test_positions_bulk_layout_phrase_and_near(spark, tmp_path):
     assert _ids(pr.phrase_docs("alpha beta")) == [1, 2, 4]
     assert _ids(pr.phrase_docs("alpha alpha")) == [5]
     assert _ids(pr.near_docs("alpha", "beta", slop=1)) == [1, 2, 3, 4]
+    # ordered (in_order): doc 3 is "gamma beta alpha" — beta precedes alpha
+    assert _ids(pr.near_docs("alpha", "beta", slop=1, ordered=True)) == [
+        1, 2, 4
+    ]
+    assert _ids(
+        pr.near_docs("alpha", "beta", slop=1, ordered=True,
+                     local_threshold=0)
+    ) == [1, 2, 4]
     assert _ids(pr.near_docs("alpha", "beta", slop=2)) == [1, 2, 3, 4, 7]
     assert _ids(pr.near_docs("alpha", "beta", slop=4)) == [1, 2, 3, 4, 7, 8]
     assert _ids(pr.near_docs("alpha", "nosuch", slop=3)) == []
