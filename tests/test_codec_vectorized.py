@@ -79,3 +79,117 @@ def test_cumsum_with_resets(runs):
     got = cumsum_with_resets(deltas, starts)
     expected = np.concatenate([np.cumsum(r) for r in runs])
     assert np.array_equal(got, expected)
+
+
+# --- positional pack → decode → match property (no Spark: pure Arrow/numpy)
+
+import pandas as _pd
+import pyarrow as _pa
+
+from kafka_connect_opensearch_spark.operators import positions as _P
+
+_TOKENS = ["a", "b", "c", "d"]
+
+
+def _brute_phrase(doc_toks: dict[int, list[str]], phrase: list[str]):
+    out = {}
+    for d, toks in doc_toks.items():
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i:i + len(phrase)] == phrase
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    phrase=st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=3),
+)
+def test_positions_pack_decode_phrase_property(docs, phrase):
+    """Random corpora: Arrow pack → varint store rows → keyed decode →
+    phrase intersection must equal the brute-force adjacency count —
+    including repeated terms, empty docs, and absent phrase terms."""
+    doc_toks = {i + 1: t for i, t in enumerate(docs)}
+    ids = _pa.array(sorted(doc_toks), type=_pa.int64())
+    toks = _pa.array([doc_toks[d] for d in sorted(doc_toks)],
+                     type=_pa.list_(_pa.string()))
+    out = _P._pack_group_arrow(ids, toks)
+    if out is None:  # all docs empty
+        assert not any(doc_toks.values())
+        return
+    pdf = _pd.DataFrame(
+        {
+            "term": out[0].to_pylist(),
+            "seg": "s0",
+            "part": 0,
+            "n_docs": out[1].to_pylist(),
+            "doc_ids": out[2].to_pylist(),
+            "pos_counts": out[3].to_pylist(),
+            "positions": out[4].to_pylist(),
+        }
+    )
+    keyed, lookup, m = _P._decode_keyed(
+        pdf, required_all=sorted(set(phrase))
+    )
+    got_df = _P._phrase_occ_keyed(keyed, lookup, m, phrase)
+    got = dict(zip(got_df["doc_id"], got_df["tf"], strict=True))
+    assert got == _brute_phrase(doc_toks, phrase)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    slop=st.integers(min_value=0, max_value=4),
+    ordered=st.booleans(),
+)
+def test_positions_near_property(docs, slop, ordered):
+    """Random corpora: NEAR (and ordered/span_near) over the packed store
+    equals the brute-force min-distance definition."""
+    a_t, b_t = "a", "b"
+    doc_toks = {i + 1: t for i, t in enumerate(docs)}
+    ids = _pa.array(sorted(doc_toks), type=_pa.int64())
+    toks = _pa.array([doc_toks[d] for d in sorted(doc_toks)],
+                     type=_pa.list_(_pa.string()))
+    out = _P._pack_group_arrow(ids, toks)
+    if out is None:
+        return
+    pdf = _pd.DataFrame(
+        {
+            "term": out[0].to_pylist(),
+            "seg": "s0",
+            "part": 0,
+            "n_docs": out[1].to_pylist(),
+            "doc_ids": out[2].to_pylist(),
+            "pos_counts": out[3].to_pylist(),
+            "positions": out[4].to_pylist(),
+        }
+    )
+    keyed, lookup, m = _P._decode_keyed(pdf, required_all=[a_t, b_t])
+    got = sorted(
+        _P._near_docs_keyed(keyed, lookup, m, a_t, b_t, slop, ordered)
+    )
+    want = []
+    for d, tok in doc_toks.items():
+        pa_ = [i for i, t in enumerate(tok) if t == a_t]
+        pb_ = [i for i, t in enumerate(tok) if t == b_t]
+        hit = any(
+            (pb - pa <= slop if ordered and pb > pa
+             else (not ordered and abs(pa - pb) <= slop))
+            for pa in pa_
+            for pb in pb_
+        )
+        if hit:
+            want.append(d)
+    assert got == sorted(want)
