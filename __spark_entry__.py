@@ -276,6 +276,43 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIG_QUERY = "spark"
+FIELDED_LANG, FIELDED_BODY_TERM = "en", "hash"
+
+
+def _get_fielded_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Multi-field index: every field's tokens are field-qualified
+    (lang__en, body__hash, ...) — Lucene per-field terms as a term-prefix
+    convention; the analyzer/codec/BM25 stack is unchanged."""
+    from kafka_connect_opensearch_spark.functions.fields import (
+        with_fielded_text,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = os.path.join(_INDEX_ROOT, f"fielded_{tag}")
+    cfg = EngineConfig(num_segments=1, salt_partitions=4,
+                       shuffle_partitions=8)
+    src = with_fielded_text(
+        _read(spark, sf_dir, "documents"),
+        {"lang": "lang", "source": "source", "body": "text"},
+    )
+    build_index(
+        spark, src, idx_dir, cfg, content_col="fielded_text",
+        doc_id_col="doc_id",
+    )
+    return IndexReader(spark, idx_dir)
+
+
+def q_fielded_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped bool-AND over the multi-field index: lang:en AND
+    body:hash — OpenSearch per-field match semantics; the oracle is the
+    equivalent relational predicate (a field-scoped term query on a
+    keyword field IS an equality filter)."""
+    from kafka_connect_opensearch_spark.functions.fields import fielded_query
+
+    reader = _get_fielded_index(spark, sf_dir)
+    q = fielded_query({"lang": FIELDED_LANG, "body": FIELDED_BODY_TERM})
+    n = reader.match_count(q, mode="and")
+    return spark.createDataFrame([(n,)], "n long")
 
 
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "significant_terms": q_significant_terms,
         "near_match_ordered": q_near_match_ordered,
+        "fielded_match_count": q_fielded_match_count,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -1179,6 +1217,12 @@ FROM p a JOIN p b USING (doc_id)
 WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
   AND abs(a.pos - b.pos) <= {NEAR_SLOP}
 ORDER BY doc_id
+""",
+        "fielded_match_count": f"""
+SELECT count(*)::BIGINT AS n FROM documents
+WHERE lang = '{FIELDED_LANG}'
+  AND len(list_filter({_toks_sql('text')},
+                      t -> t = '{FIELDED_BODY_TERM}')) > 0
 """,
         "near_match_ordered": f"""
 WITH p AS (

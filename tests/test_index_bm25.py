@@ -270,6 +270,44 @@ def test_fuzzy_expansion_local_and_distributed_agree(spark, index_dir):
     assert reader.fuzzy_match_count("qqqqqqqq", max_edits=1) == 0
 
 
+def test_fielded_index_scoped_match_and_scores(spark, tmp_path):
+    """Multi-field convention: field-qualified terms scope matches to one
+    field (lang:py never matches body text 'py'), and BM25 over the
+    fielded index equals the numpy oracle on the composed fielded text."""
+    from kafka_connect_opensearch_spark.functions.fields import (
+        field_query,
+        fielded_query,
+        with_fielded_text,
+    )
+
+    rows = [
+        (1, "py", "alpha beta py"),       # 'py' also appears in the body
+        (2, "py", "beta gamma"),
+        (3, "java", "alpha py alpha"),
+        (4, "java", "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, body string")
+    src = with_fielded_text(df, {"lang": "lang", "body": "body"})
+    d = str(tmp_path / "fidx")
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2)
+    build_index(spark, src, d, cfg, content_col="fielded_text",
+                doc_id_col="doc_id")
+    reader = IndexReader(spark, d)
+    assert reader.match_count(field_query("lang", "py")) == 2
+    assert reader.match_count(field_query("body", "py")) == 2   # docs 1, 3
+    assert reader.match_count(field_query("body", "alpha")) == 2
+    q = fielded_query({"lang": "py", "body": "alpha"})
+    assert reader.match_count(q, mode="and") == 1               # doc 1 only
+    got = reader.search(q, k=4).toPandas()
+    pdf = src.select("doc_id", "fielded_text").toPandas()
+    want = brute_force_bm25(pdf, q, k=4, text_col="fielded_text")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), want["score"].to_numpy()
+    )
+
+
 def test_highlight_snippets_match_python(spark, index_dir, corpus_pdf):
     """Plain-highlighter fragments: earliest query-term occurrence,
     greatest(p-2, 1), 5 tokens — verified against a direct python cut."""
