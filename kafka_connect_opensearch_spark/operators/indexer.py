@@ -456,6 +456,20 @@ def _index_meta(config: EngineConfig) -> dict:
     }
 
 
+def _effective_config(store: SegmentStore, config: EngineConfig) -> EngineConfig:
+    """The positions flag is a per-index MAPPING recorded at creation
+    (meta.json), like a Lucene field's IndexOptions: later ingests must
+    honor it regardless of the caller's config, or a positions=True index
+    would silently grow position-less segments the reader cannot serve
+    (and vice versa)."""
+    import dataclasses
+
+    meta_flag = bool(store.meta().get("positions", False))
+    if meta_flag == config.index_positions:
+        return config
+    return dataclasses.replace(config, index_positions=meta_flag)
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -477,6 +491,7 @@ def build_index(
     t0 = time.monotonic()
     store = SegmentStore(index_dir)
     store.create_if_absent(_index_meta(config))
+    config = _effective_config(store, config)
     metrics = BuildMetrics()
     committed = store.committed_batches() if resume else {}
 
@@ -622,6 +637,7 @@ def build_index_bulk(
     t0 = time.monotonic()
     store = SegmentStore(index_dir)
     store.create_if_absent(_index_meta(config))
+    config = _effective_config(store, config)
     bulk_id = f"bulk_{tag}"
     if bulk_id in store.committed_batches():
         m = BuildMetrics(batches_skipped=config.num_segments)

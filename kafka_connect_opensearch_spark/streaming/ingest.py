@@ -84,11 +84,16 @@ def start_streaming_index_build(
     are ingested as micro-batches, one segment per non-empty batch."""
     config = config or EngineConfig()
     store = SegmentStore(index_dir)
-    from kafka_connect_opensearch_spark.operators.indexer import _index_meta
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        _effective_config,
+        _index_meta,
+    )
 
     meta = _index_meta(config)
     meta["num_segments"] = -1  # unbounded
     store.create_if_absent(meta)
+    # the recorded mapping wins over the restart config (see _effective_config)
+    config = _effective_config(store, config)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch may redeliver a batch after failure; the manifest

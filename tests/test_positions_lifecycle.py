@@ -181,6 +181,39 @@ def test_positions_distributed_scan_pushdown(spark, tmp_path):
     assert "alpha" in dplan  # term filter present in the distributed plan
 
 
+def test_positions_mapping_survives_config_mismatch(spark, tmp_path):
+    """The positions flag is a per-index MAPPING recorded at creation
+    (meta.json): later ingests must honor it regardless of the caller's
+    config — otherwise a positions=True index silently grows
+    position-less segments the reader cannot serve."""
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        _effective_config,
+    )
+
+    v1 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    v2 = spark.createDataFrame([(2, "alpha beta gamma")],
+                               "doc_id long, text string")
+    on = EngineConfig(num_segments=1, salt_partitions=2,
+                      shuffle_partitions=2, index_positions=True)
+    off = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2)  # index_positions=False
+
+    d = str(tmp_path / "idx")
+    build_index(spark, v1, d, on, content_col="text", doc_id_col="doc_id")
+    # the recorded mapping overrides mismatched caller configs, both ways
+    assert _effective_config(SegmentStore(d), off).index_positions is True
+    d2 = str(tmp_path / "idx_off")
+    build_index(spark, v1, d2, off, content_col="text", doc_id_col="doc_id")
+    assert _effective_config(SegmentStore(d2), on).index_positions is False
+
+    # end-to-end: a later build_index against the positions=True index
+    # with a positions-less config still writes positions for its segment
+    build_index(spark, v2, d, off, content_col="text", doc_id_col="doc_id",
+                resume=False)  # rewrites batch b0000 with v2's segment
+    pr = PositionsReader(spark, d)
+    assert _ids(pr.phrase_docs("alpha beta gamma")) == [2]
+
+
 def test_positions_reader_requires_flag(spark, tmp_path):
     docs = spark.createDataFrame([(1, "alpha beta")],
                                  "doc_id long, text string")
