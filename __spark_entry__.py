@@ -326,6 +326,16 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch field collapsing: best 2 hits per lang over the FULL
+    exactly-scored match set (no top-k cut before the collapse)."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return reader.search_collapse(
+        docs, BM25_QUERY, "lang", k_per_group=2, id_col="doc_id"
+    ).orderBy("lang", "rnk")
+
+
 def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-after-rank: BM25 top-k doc_ids join back to the source
     table for stored fields (the index stores identity + stats, never a
@@ -938,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "near_match_ordered": q_near_match_ordered,
         "fielded_match_count": q_fielded_match_count,
+        "search_collapse": q_search_collapse,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -1129,6 +1140,49 @@ SELECT count(*)::BIGINT AS n FROM (
 """
 
 
+def _search_collapse_sql() -> str:
+    """Field collapsing over the FULL scored match set: the _bm25_sql
+    scores CTE without its LIMIT, windowed per collapse-field value on
+    raw score (round only in the outer projection)."""
+    terms = sorted(set(BM25_QUERY.split()))
+    values = ", ".join(f"('{t}', 1.0)" for t in terms)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+dstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks)::DOUBLE AS dl FROM docs
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN (VALUES {values}) q(term, qtf) ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  CROSS JOIN dstats s
+  GROUP BY tf.doc_id
+)
+SELECT lang, rnk, doc_id, round(raw, 4) AS score FROM (
+  SELECT d.lang, sc.doc_id, sc.raw,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.raw DESC, sc.doc_id ASC) AS rnk
+  FROM scores sc JOIN documents d USING (doc_id)
+) WHERE rnk <= 2
+ORDER BY lang, rnk
+"""
+
+
 def _search_highlight_sql() -> str:
     """Top-k hits + plain-highlighter fragment: earliest query-term
     occurrence, greatest(p-2, 1), 5-token window — identical arithmetic to
@@ -1239,6 +1293,7 @@ WHERE a.term = '{NEAR_A}' AND b.term = '{NEAR_B}'
 ORDER BY doc_id
 """,
         "search_highlight": _search_highlight_sql(),
+        "search_collapse": _search_collapse_sql(),
         "significant_terms": f"""
 WITH t AS (
   SELECT doc_id, {_toks_sql('text')} AS toks FROM documents

@@ -528,6 +528,68 @@ class IndexReader:
             .applyInPandas(and_docs, schema=counter_schema)
         )
 
+    def score_matches(self, query: str, mode: str = "or") -> DataFrame:
+        """EXACT BM25 scores for EVERY matching doc (no top-k cut) as a
+        DataFrame — the substrate for analytics that need the full hit
+        list (field collapsing, score histograms). Per-segment numpy
+        scoring exactly as :meth:`search`; with an unbounded k the
+        MaxScore threshold stays 0, so no candidate is pruned."""
+        qterms = sorted(Counter(tokenize_py(query)).items())
+        n_docs, avgdl = self._stats
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not qterms or n_docs == 0:
+            return empty
+        dfs = self.term_stats([t for t, _ in qterms])
+        if mode == "and" and any(t not in dfs for t, _ in qterms):
+            return empty
+        qterms = [(t, q) for t, q in qterms if t in dfs]
+        if not qterms:
+            return empty
+        weights = {t: qtf * bm25_idf(n_docs, dfs[t]) for t, qtf in qterms}
+        scorer = _make_segment_scorer(
+            weights, avgdl, self.k1, self.b, 1 << 60, mode, self.block_size
+        )
+        return (
+            self.postings([t for t, _ in qterms])
+            .groupBy("seg")
+            .applyInPandas(scorer, schema="doc_id long, score double")
+        )
+
+    def search_collapse(
+        self,
+        source: DataFrame,
+        query: str,
+        collapse_col: str,
+        k_per_group: int = 1,
+        mode: str = "or",
+        id_col: str = "doc_id",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """OpenSearch field collapsing: the FULL match set is scored
+        exactly, then only the best ``k_per_group`` hits per
+        ``collapse_col`` value survive (rank on raw score desc, doc_id asc
+        — deterministic). One keyed join against the source for the
+        collapse field + one window per group; nothing driver-sized."""
+        from pyspark.sql import Window
+
+        scored = self.score_matches(query, mode)
+        joined = source.select(
+            F.col(id_col).alias("doc_id"), collapse_col
+        ).join(scored, "doc_id")
+        w = Window.partitionBy(collapse_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k_per_group)
+            .select(
+                collapse_col,
+                "rnk",
+                "doc_id",
+                F.round("score", round_to).alias("score"),
+            )
+        )
+
     def significant_terms(
         self,
         source: DataFrame,

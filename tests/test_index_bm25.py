@@ -270,6 +270,20 @@ def test_fuzzy_expansion_local_and_distributed_agree(spark, index_dir):
     assert reader.fuzzy_match_count("qqqqqqqq", max_edits=1) == 0
 
 
+def test_score_matches_full_set(spark, index_dir, corpus_pdf):
+    """score_matches returns EVERY matching doc with the exact BM25 score
+    (no top-k cut, no pruning loss) — the field-collapsing substrate."""
+    reader = IndexReader(spark, index_dir)
+    q = "ident_7 return"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in reader.score_matches(q).collect()
+    }
+    want_df = brute_force_bm25(corpus_pdf, q, k=10**9, text_col="content")
+    want = dict(zip(want_df["doc_id"], want_df["score"], strict=True))
+    assert got == want and len(want) > 10
+
+
 def test_fielded_index_scoped_match_and_scores(spark, tmp_path):
     """Multi-field convention: field-qualified terms scope matches to one
     field (lang:py never matches body text 'py'), and BM25 over the
