@@ -1303,11 +1303,15 @@ fgdocs AS (SELECT DISTINCT doc_id FROM u WHERE term = '{SIG_QUERY}'),
 fgs AS (SELECT count(*)::DOUBLE AS s FROM fgdocs),
 nn AS (SELECT count(*)::DOUBLE AS nv FROM documents),
 fg AS (
+  -- candidate cap mirrors the engine's max_candidate_terms=10000
+  -- (fg_df desc, term asc) shard_size-style pre-cut
   SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM u
   WHERE doc_id IN (SELECT doc_id FROM fgdocs) GROUP BY term
+  ORDER BY fg_df DESC, term ASC LIMIT 10000
 ),
 bg AS (
-  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM u GROUP BY term
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM u
+  WHERE term IN (SELECT term FROM fg) GROUP BY term
 )
 SELECT term, fg_df, bg_df,
        round((fg_df::DOUBLE / s) * (fg_df::DOUBLE / s)

@@ -250,7 +250,8 @@ class IndexReader:
         }
         not_present = [t for t in not_t if t in dfs]
         scorer = _make_bool_segment_scorer(
-            weights, must_t, not_present, avgdl, self.k1, self.b, k
+            weights, must_t, not_present, avgdl, self.k1, self.b, k,
+            self.block_size,
         )
         fetch_terms = sorted(set(weights) | set(not_present))
         total_postings = sum(dfs[t] for t in fetch_terms)
@@ -599,6 +600,7 @@ class IndexReader:
         id_col: str = "doc_id",
         text_col: str = "content",
         round_to: int = 6,
+        max_candidate_terms: int = 10_000,
     ) -> DataFrame:
         """OpenSearch ``significant_terms`` aggregation over the query's
         match set: terms over-represented in the foreground (matching
@@ -609,10 +611,14 @@ class IndexReader:
 
         Execution: the index produces the match set (selective — the same
         candidate-sliver story as phrase_match); only those docs' text is
-        re-analyzed for foreground df. Background df comes from the
-        index's postings stats (one ``(term, df)`` aggregation, no source
-        rescan). Both sides are keyed joins; nothing corpus-sized reaches
-        the driver."""
+        re-analyzed for foreground df. The candidate term list is the
+        foreground's vocabulary, capped at ``max_candidate_terms`` by
+        (fg_df desc, term asc) — the OpenSearch ``shard_size`` analog, a
+        bounded driver-side term dictionary. Background df is then read
+        from the postings store for ONLY those terms (``term IN (...)``
+        pushed into the parquet scan, same pruning path as every query),
+        never a full-index aggregation; the fg side rejoins as a
+        broadcast. Nothing corpus-sized reaches the driver."""
         n_docs, _ = self._stats
         empty = self.spark.createDataFrame(
             [], "term string, fg_df long, bg_df long, score double"
@@ -637,8 +643,26 @@ class IndexReader:
             .groupBy("term")
             .agg(F.count("*").alias("fg_df"))
         )
+        cand = (
+            fg.orderBy(F.desc("fg_df"), F.asc("term"))
+            .limit(max_candidate_terms)
+            .collect()
+        )
+        if not cand:
+            return empty
+        fg_local = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "term": [r["term"] for r in cand],
+                    "fg_df": np.asarray(
+                        [r["fg_df"] for r in cand], dtype="int64"
+                    ),
+                }
+            ),
+            "term string, fg_df long",
+        )
         bg = (
-            self.postings(None)
+            self.postings([r["term"] for r in cand])
             .groupBy("term")
             .agg(F.sum("df").alias("bg_df"))
         )
@@ -651,7 +675,7 @@ class IndexReader:
             round_to,
         )
         return (
-            fg.join(bg, "term")
+            bg.join(F.broadcast(fg_local), "term")
             .select("term", "fg_df", "bg_df", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("term"))
             .limit(k)
@@ -897,16 +921,18 @@ def _maxscore_candidates(
     cand = np.unique(np.concatenate([decoded[t][0] for t in essential]))
     if not nonessential:
         return cand
-    # block-max refinement: a non-essential-only doc could still matter if
-    # per-block bounds exceed theta — conservatively include docs from
-    # blocks whose refined bound ≥ theta.
+    # block-max refinement: docs in essential lists are already candidates,
+    # so an extra doc can appear ONLY in non-essential lists — its score is
+    # bounded by the sum of non-essential ubs, refined per block via the
+    # stored block-max tf. Include docs from blocks whose bound ≥ theta.
+    nonessential_ub = suffix_ub[m] if m < len(suffix_ub) else 0.0
     extras = []
     for t in nonessential:
         ids, _tfs, _dls, bmax = decoded[t]
         if bmax.size == 0:
             continue
         bub = weights[t] * (k1 + 1.0) * bmax / (bmax + k1 * (1.0 - b))
-        rest = suffix_ub[m - 1] - ubs[t] if m - 1 < len(suffix_ub) else 0.0
+        rest = nonessential_ub - ubs[t]
         hot = np.nonzero(bub + rest >= theta)[0]
         for blk in hot:
             extras.append(ids[blk * block_size : (blk + 1) * block_size])
@@ -923,6 +949,7 @@ def _make_bool_segment_scorer(
     k1: float,
     b: float,
     k: int,
+    block_size: int = 128,
 ):
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
@@ -944,13 +971,25 @@ def _make_bool_segment_scorer(
                 cand = ids if cand is None else cand[np.isin(cand, ids)]
                 if cand.size == 0:
                     return empty
+            for t in not_terms:
+                if t in decoded and cand.size:
+                    cand = cand[~np.isin(cand, decoded[t][0])]
+            if cand.size == 0:
+                return empty
         else:
-            cand = np.unique(
-                np.concatenate([v[0] for v in score_decoded.values()])
+            # should-only: prune with MaxScore instead of exact-scoring the
+            # full OR union. must_not is applied to the posting lists FIRST
+            # (block-max recomputed on the filtered lists) so the threshold
+            # θ is a valid lower bound on the k-th best score of the final
+            # (post-exclusion) result set — pruning stays exact.
+            score_decoded = _exclude_from_lists(
+                score_decoded, decoded, not_terms, block_size
             )
-        for t in not_terms:
-            if t in decoded and cand.size:
-                cand = cand[~np.isin(cand, decoded[t][0])]
+            if not score_decoded:
+                return empty
+            cand = _maxscore_candidates(
+                score_decoded, weights, avgdl, k1, b, k, block_size
+            )
         if cand.size == 0:
             return empty
         scores = _exact_scores(cand, score_decoded, weights, avgdl, k1, b)
@@ -960,6 +999,37 @@ def _make_bool_segment_scorer(
         )
 
     return score_segment
+
+
+def _exclude_from_lists(
+    score_decoded: dict,
+    decoded: dict,
+    not_terms: list[str],
+    block_size: int,
+) -> dict:
+    """Remove ``must_not`` docs from every scoring posting list, recomputing
+    per-block max-tf metadata on the filtered lists so MaxScore bounds stay
+    valid after the exclusion."""
+    excl_lists = [decoded[t][0] for t in not_terms if t in decoded]
+    if not excl_lists:
+        return score_decoded
+    excluded = (
+        excl_lists[0]
+        if len(excl_lists) == 1
+        else np.unique(np.concatenate(excl_lists))
+    )
+    out = {}
+    for t, (ids, tfs, dls, bmax) in score_decoded.items():
+        keep = ~np.isin(ids, excluded, assume_unique=True)
+        if keep.all():
+            out[t] = (ids, tfs, dls, bmax)
+            continue
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if ids.size == 0:
+            continue
+        starts = np.arange(0, ids.size, block_size)
+        out[t] = (ids, tfs, dls, np.maximum.reduceat(tfs, starts))
+    return out
 
 
 def _make_segment_counter(qterms: list[str], mode: str):

@@ -27,20 +27,47 @@ LANG_ORDER = sorted(LANG_STOPWORDS)  # deterministic tie-break: alphabetical
 
 
 def stopword_hits(tokens: Column, words: list[str]) -> Column:
-    """Number of tokens that are in ``words`` (multiset count)."""
+    """Number of tokens that are in ``words`` (multiset count).
+
+    Interpreted-HOF shape (``ArrayFilter`` is CodegenFallback); kept for
+    callers that already hold a tokens array. The hot paths
+    (:func:`language_id`, :func:`quality_score`) use
+    :func:`stopword_hits_text` instead — one codegen regex pass."""
     return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def stopword_hits_text(text: Column, words: list[str]) -> Column:
+    """Multiset stopword count straight off the text, whole-stage codegen.
+
+    Equivalent to ``stopword_hits(tokenize(text), words)``: separators
+    (the complement of the analyzer charset ``[a-z0-9_]``) collapse to a
+    DOUBLE space so adjacent tokens never share a delimiter, then one
+    ``regexp_count`` over the space-flanked alternation counts
+    non-overlapping whole-token matches. No lookarounds, so the same
+    pattern runs identically under Java regex and RE2/DuckDB."""
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), "[^a-z0-9_]+", "  "),
+        F.lit(" "),
+    )
+    return F.regexp_count(padded, F.lit(" (" + "|".join(words) + ") "))
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Predict language by max stopword-hit count; tie/zero → 'und'.
 
     Ties break alphabetically (greatest(struct) over (hits, reversed-lang
-    marker) is avoided for SQL portability — explicit CASE cascade)."""
-    toks = tokenize(text_col)
-    out = df.select(F.col(id_col), toks.alias("_toks"))
+    marker) is avoided for SQL portability — explicit CASE cascade).
+
+    All four per-language counts come from :func:`stopword_hits_text` —
+    one regexp pass per language over the text, fully inside whole-stage
+    codegen (the array-HOF shape was interpreted per token per language,
+    the round-3 bench's slowest projection)."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("_text"))
     for lang in LANG_ORDER:
         out = out.withColumn(
-            f"hits_{lang}", stopword_hits(F.col("_toks"), LANG_STOPWORDS[lang])
+            f"hits_{lang}",
+            stopword_hits_text(F.col("_text"), LANG_STOPWORDS[lang]),
         )
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_ORDER])
     pred = F.when(best <= 0, F.lit("und"))
@@ -68,7 +95,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_chars = F.length(text).cast("double")
     alpha = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
     n_toks = F.size(toks).cast("double")
-    sw = stopword_hits(toks, LANG_STOPWORDS["en"]).cast("double")
+    sw = stopword_hits_text(text, LANG_STOPWORDS["en"]).cast("double")
     mean_wl = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
     len_score = F.least(F.lit(1.0), n_chars / 2000.0)
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))

@@ -418,3 +418,53 @@ def test_postings_scan_pushdown(spark, index_dir):
         .toString()
     )
     assert "PushedFilters" in plan and "ident_1" in plan
+
+
+def test_search_bool_should_only_matches_bruteforce(spark, index_dir,
+                                                    corpus_pdf):
+    """No must terms: any should term matches, minus must_not — exercises
+    the round-4 MaxScore-pruned should-only path on both the local and the
+    distributed scorer."""
+    from collections import Counter
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+    from kafka_connect_opensearch_spark.operators.bm25 import bm25_idf
+
+    should, must_not = "return import ident_1", "class"
+    reader = IndexReader(spark, index_dir)
+
+    toks = [tokenize_py(t) for t in corpus_pdf["content"]]
+    ids = corpus_pdf["doc_id"].to_numpy(dtype="int64")
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl = dls.mean()
+    n = len(toks)
+    score_t = sorted(set(tokenize_py(should)))
+    not_t = sorted(set(tokenize_py(must_not)))
+    k1, b = EngineConfig.k1, EngineConfig.b
+    scores = np.zeros(n)
+    any_should = np.zeros(n, dtype=bool)
+    ok = np.ones(n, dtype=bool)
+    for t in not_t:
+        ok &= ~np.array([t in Counter(tk) for tk in toks])
+    for t in score_t:
+        tf = np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        w = bm25_idf(n, df)
+        has = tf > 0
+        any_should |= has
+        scores[has] += w * (
+            tf[has] * (k1 + 1.0)
+            / (tf[has] + k1 * (1.0 - b + b * dls[has] / avgdl))
+        )
+    idx = np.nonzero(ok & any_should)[0]
+    order = np.lexsort((ids[idx], -scores[idx]))[:10]
+    sel = idx[order]
+
+    for thr in (None, 0):  # local scatter-gather AND distributed scorer
+        kwargs = {} if thr is None else {"local_threshold": 0}
+        got = reader.search_bool(must="", should=should, must_not=must_not,
+                                 k=10, **kwargs).toPandas()
+        assert got["doc_id"].tolist() == ids[sel].tolist()
+        np.testing.assert_array_equal(got["score"].to_numpy(), scores[sel])

@@ -69,3 +69,43 @@ def test_exact_scores_sorted_term_order_deterministic():
     a = _exact_scores(docs, decoded, weights, 800.0, K1, B)
     b = _exact_scores(docs, decoded, weights, 800.0, K1, B)
     assert np.array_equal(a, b)  # bit-identical reruns
+
+
+def test_should_only_exclusion_then_maxscore_exact_and_pruning():
+    """Round-4 path: bool query with no must — MaxScore over the should
+    union after must_not pre-filtering. Candidates must (a) exclude every
+    must_not doc, (b) be a superset of the true post-exclusion top-k, and
+    (c) actually prune the stopword-heavy OR union."""
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        _exclude_from_lists,
+    )
+
+    rng = np.random.default_rng(5)
+    decoded, weights = _mk_decoded(rng)
+    avgdl = 1000.0
+    excl_ids = np.sort(rng.choice(5000, size=1500, replace=False))
+    all_decoded = dict(decoded)
+    all_decoded["nt"] = (
+        excl_ids,
+        np.ones_like(excl_ids),
+        np.ones_like(excl_ids),
+        np.array([1], dtype=np.int64),
+    )
+    filtered = _exclude_from_lists(decoded, all_decoded, ["nt"], 128)
+
+    union = np.unique(np.concatenate([v[0] for v in decoded.values()]))
+    union = union[~np.isin(union, excl_ids)]
+    full = _exact_scores(union, decoded, weights, avgdl, K1, B)
+    order = np.lexsort((union, -full))[:10]
+    true_topk = set(union[order].tolist())
+
+    cand = _maxscore_candidates(filtered, weights, avgdl, K1, B, 10, 128)
+    assert not np.isin(cand, excl_ids).any()
+    assert true_topk <= set(cand.tolist())
+    assert cand.size < union.size  # pruning effective on stopword lists
+    # exact scores on the filtered lists match the unfiltered ones for
+    # every surviving doc (exclusion only removes rows, never edits them)
+    np.testing.assert_array_equal(
+        _exact_scores(cand, filtered, weights, avgdl, K1, B),
+        _exact_scores(cand, decoded, weights, avgdl, K1, B),
+    )

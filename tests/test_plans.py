@@ -130,3 +130,52 @@ def test_agg_has_partial_stage(spark, tpch):
     plan = plans.executed_plan(q)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert plans.count_exchanges(q) == 1     # exactly one shuffle
+
+
+def test_significant_terms_bg_read_is_term_scoped(spark, tmp_path, monkeypatch):
+    """Round-4 pin: significant_terms' background df must come from a
+    term-scoped postings read (the fg candidate vocabulary), never a
+    ``postings(None)`` full-store aggregation. Term-list pushdown to the
+    parquet scan is pinned separately by
+    test_postings_term_filter_reaches_scan; under AQE the FileScan line is
+    string-truncated by the INSET list, so here we spy on the reader."""
+    from kafka_connect_opensearch_spark.config import DOC_KEY_SEP, EngineConfig
+    from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        build_index_bulk,
+        doc_id_py,
+    )
+    from kafka_connect_opensearch_spark.sources.corpus import (
+        generate_corpus,
+        generate_corpus_pandas,
+    )
+
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=2, salt_partitions=2, shuffle_partitions=4)
+    build_index_bulk(spark, generate_corpus(spark, 200), d, cfg)
+    pdf = generate_corpus_pandas(200)
+    pdf["doc_id"] = [
+        doc_id_py(DOC_KEY_SEP.join(t))
+        for t in zip(pdf["repo"], pdf["path"], pdf["commit"], strict=True)
+    ]
+    src = spark.createDataFrame(pdf[["doc_id", "content"]])
+    reader = IndexReader(spark, d)
+
+    seen_terms: list = []
+    orig_postings = IndexReader.postings
+
+    def spy(self, terms, *a, **kw):
+        seen_terms.append(terms)
+        return orig_postings(self, terms, *a, **kw)
+
+    monkeypatch.setattr(IndexReader, "postings", spy)
+    q = reader.significant_terms(src, "ident_1", k=5, text_col="content")
+    # the bg aggregation must pass an explicit (bounded) term list — a
+    # postings(None) call here would be the full-index scan anti-pattern
+    assert seen_terms and all(t is not None for t in seen_terms)
+    assert all(0 < len(t) <= 10_000 for t in seen_terms)
+    # fg side rejoins as a broadcast (bounded candidate list)
+    assert plans.has_broadcast_join(q)
+    # and the result is still correct vs a quick self-check
+    out = q.toPandas()
+    assert len(out) > 0 and (out["bg_df"] >= out["fg_df"]).all()

@@ -45,6 +45,58 @@ def test_quality_score_bounds(spark, docs):
         assert 0.0 <= r["alpha_ratio"] <= 1.0
 
 
+def test_stopword_hits_text_equals_array_hof(spark):
+    """stopword_hits_text (round-4 codegen regex shape) must be a multiset
+    count identical to the interpreted-HOF stopword_hits over tokenize():
+    repeats, token-boundary punctuation, leading/trailing tokens, words as
+    substrings of longer tokens, empty/None text."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize
+
+    rows = [
+        (1, "the the the"),                      # repeats, no separators run
+        (2, "The,and.of;to the"),                # punctuation separators
+        (3, "and"),                              # whole-string single token
+        (4, "band the band theater others"),     # substring false-friends
+        (5, ""),                                 # empty
+        (6, None),                               # null text
+        (7, "  the \t and\nof  "),               # whitespace runs + edges
+        (8, "the_and of2 the"),                  # _ and digits keep tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = ts.LANG_STOPWORDS["en"]
+    out = df.select(
+        "doc_id",
+        ts.stopword_hits_text(F.col("text"), words).alias("fast"),
+        ts.stopword_hits(tokenize(F.col("text")), words).alias("hof"),
+    ).collect()
+    got = {r["doc_id"]: (r["fast"], r["hof"]) for r in out}
+    assert got[1] == (3, 3)
+    assert got[2] == (5, 5)
+    assert got[3] == (1, 1)
+    assert got[4] == (1, 1)   # band/theater don't count despite substrings
+    assert got[5] == (0, 0)
+    assert got[6] == (None, None)
+    assert got[7] == (3, 3)
+    assert got[8] == (1, 1)   # the_and / of2 are single non-stopword tokens
+
+
+def test_language_id_quality_score_are_codegen(spark, docs):
+    """Round-4 perf pin: no interpreted array HOF (ArrayFilter is
+    CodegenFallback) and no Python eval in either projection's plan."""
+    from kafka_connect_opensearch_spark import plans
+
+    for q in (
+        ts.language_id(docs, "text", "doc_id"),
+        ts.quality_score(docs, "text", "doc_id"),
+    ):
+        plan = plans.executed_plan(q)
+        assert "filter(" not in plan and "lambdafunction" not in plan.lower()
+        assert "EvalPython" not in plan
+        assert plans.codegen_stage_count(q) >= 1
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma ALPHA beta!"), (3, "alpha beta")],
