@@ -72,7 +72,11 @@ _INDEX_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes
 
 def _get_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx_dir = os.path.join(_INDEX_ROOT, f"documents_{tag}")
+    # "_pos" versions the cache dir: the recorded mapping is authoritative
+    # on resume (_effective_config), so a cache built before positions were
+    # required would silently serve a positions-off index and every
+    # positional query would raise. A new name = a fresh, correct build.
+    idx_dir = os.path.join(_INDEX_ROOT, f"documents_{tag}_pos")
     cfg = EngineConfig(
         num_segments=2, salt_partitions=4, shuffle_partitions=8,
         index_positions=True,  # phrase/NEAR/phrase-BM25 run off the index
@@ -927,7 +931,17 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order: the r3 driver report capped at the first 50 keys, so the
+    # seven entries it missed lead the dict this round (least-recently
+    # driver-verified first); everything else keeps its r3 order.
     return {
+        "window_topn": q_window_topn,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "events_sliding": q_events_sliding,
+        "timestamp_injection": q_timestamp_injection,
+        "media_feature_stats": q_media_features,
+        "media_frame_sample": q_media_frames,
         "bm25_topk_or": _bm25("or"),
         "bm25_topk_and": _bm25("and"),
         "bm25_bool": q_bm25_bool,
@@ -978,13 +992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_conversion": q_payload_conversion,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
-        "window_topn": q_window_topn,
-        "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,
-        "events_sliding": q_events_sliding,
-        "timestamp_injection": q_timestamp_injection,
-        "media_feature_stats": q_media_features,
-        "media_frame_sample": q_media_frames,
     }
 
 
@@ -1370,9 +1377,18 @@ SELECT count(*)::BIGINT AS n FROM (
 )
 """,
         "phrase_prefix_match": f"""
-SELECT doc_id FROM documents
-WHERE contains(' ' || array_to_string({_toks_sql('text')}, ' ') || ' ',
-               ' {PHRASE_PREFIX_Q}')
+-- expansion cap mirrors the engine's max_expansions=50 (alphabetical),
+-- so results agree even when >50 distinct tokens share the prefix
+WITH expansion AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM (
+      SELECT unnest({_toks_sql('text')}) AS term FROM documents
+    ) WHERE term LIKE '{PHRASE_PREFIX_Q.rsplit(" ", 1)[1]}%'
+  ) ORDER BY term LIMIT 50
+)
+SELECT DISTINCT d.doc_id FROM documents d, expansion e
+WHERE contains(' ' || array_to_string({_toks_sql('d.text')}, ' ') || ' ',
+               ' {PHRASE_PREFIX_Q.rsplit(" ", 1)[0]} ' || e.term || ' ')
 ORDER BY doc_id
 """,
         "doc_count": "SELECT count(*)::BIGINT AS n FROM documents",

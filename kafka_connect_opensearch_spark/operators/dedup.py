@@ -197,13 +197,20 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.7,
     max_broadcast_pairs: int = 1_000_000,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
     Jaccard verify on candidates → pairs ≥ threshold.
 
     Shingles are computed once and cached: they feed both the signature
     path and the verify join (3 plan subtrees otherwise re-tokenize the
-    corpus; at 100 TB the cache is a checkpointed table instead)."""
+    corpus; at 100 TB the cache is a checkpointed table instead). The
+    cached frames are deliberately left persisted by default — Spark's
+    CacheManager matches them by plan equality, so a repeated call (the
+    steady-state dedup-job shape) reuses them as its warm path. Pass
+    ``release_cache=True`` for one-shot callers: the verified pairs are
+    eagerly localCheckpoint-ed (linear in candidate pairs, never
+    corpus-sized) and both input caches are dropped before returning."""
     rows_per_band = num_hashes // bands
     stream = shingle_stream(df, text_col, id_col, n).persist()
     sigs = signatures_from_stream(stream, num_hashes)
@@ -251,7 +258,12 @@ def minhash_lsh_dedup(
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    out = j.filter(F.col("jaccard") >= threshold)
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        cands.unpersist()
+        stream.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -422,6 +422,19 @@ def _near_docs_keyed(
     kb = keyed.get(term_b)
     if ka is None or kb is None or ka.size == 0 or kb.size == 0:
         return np.empty(0, dtype=np.int64)
+    if term_a == term_b:
+        # span_near needs two DISTINCT spans: an occurrence may not match
+        # itself (searchsorted would find it at distance 0). Neighbor =
+        # the NEXT occurrence of the same list; checking only the right
+        # neighbor is complete for unordered too (the pair (i, i+1) is
+        # found from i), and is exactly in_order for ordered.
+        if ka.size < 2:
+            return np.empty(0, dtype=np.int64)
+        d = ka[1:] - ka[:-1]
+        hit = ((ka[1:] // M) == (ka[:-1] // M)) & (d <= slop)
+        if not hit.any():
+            return np.empty(0, dtype=np.int64)
+        return lookup[np.unique(ka[:-1][hit] // M)].astype(np.int64)
     idx = np.searchsorted(kb, ka)
     hit = np.zeros(ka.size, dtype=bool)
     right = idx < kb.size
@@ -773,57 +786,71 @@ class PositionsReader:
             keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
                                              required_all=uniq)
             part_occ = _phrase_occ_keyed(keyed, lookup, m, terms)
-            occ: dict[int, int] = dict(
-                zip(part_occ["doc_id"], part_occ["tf"], strict=True)
-            )
-            if not occ:
+            cand = np.asarray(part_occ["doc_id"], dtype=np.int64)
+            if cand.size == 0:
                 return empty
-            idf = bm25_idf(n_docs, len(occ))
+            tf_arr = np.asarray(part_occ["tf"], dtype=np.float64)
+            order = np.argsort(cand)
+            cand, tf_arr = cand[order], tf_arr[order]
+            idf = bm25_idf(n_docs, cand.size)
             # dl for the candidates: decode ONE phrase term's postings rows
             # (every candidate contains every term) — same coordinator
             # envelope as the positions read, no corpus-sized isin filter
             rare = min(uniq, key=lambda t: entries[t])
-            dl = self._dl_from_postings(reader, rare)
-            cand = sorted(occ)
-            tf_arr = np.array([float(occ[d]) for d in cand])
-            dl_arr = np.array([float(dl[d]) for d in cand])
-            w = idf * bm25_tf_weight(tf_arr, dl_arr, avgdl, self.k1, self.b)
-            scored = sorted(
-                zip(cand, np.round(w, round_to), strict=True),
-                key=lambda t: (-t[1], t[0]),
-            )[:k]
-            pdf = pd.DataFrame(scored, columns=["doc_id", "score"]).astype(
-                {"doc_id": "int64", "score": "float64"}
+            dl_ids, dl_vals = self._dl_from_postings(reader, rare)
+            dl_arr = dl_vals[np.searchsorted(dl_ids, cand)].astype(
+                np.float64
+            )
+            w = np.round(
+                idf * bm25_tf_weight(tf_arr, dl_arr, avgdl, self.k1, self.b),
+                round_to,
+            )
+            sel = np.lexsort((cand, -w))[:k]
+            pdf = pd.DataFrame(
+                {"doc_id": cand[sel].astype("int64"),
+                 "score": w[sel].astype("float64")}
             )
             return self.spark.createDataFrame(pdf, "doc_id long, score double")
         occ_df = self.phrase_occurrences(phrase, local_threshold).cache()
-        n_match = occ_df.count()
-        if n_match == 0:
+        try:
+            n_match = occ_df.count()
+            if n_match == 0:
+                return empty
+            idf = bm25_idf(n_docs, n_match)
+            k1, b = self.k1, self.b
+            tf = F.col("tf").cast("double")
+            dl = F.col("dl").cast("double")
+            # identical float64 op order to numpy bm25_tf_weight:
+            # tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)), then * idf
+            weight = (tf * F.lit(k1 + 1.0)) / (
+                tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+            )
+            topk = (
+                occ_df.join(reader.docs().select("doc_id", "dl"), "doc_id")
+                .withColumn("score", F.round(F.lit(idf) * weight, round_to))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", "score")
+                .toPandas()  # ≤k rows; materialize so the cache can drop
+            )
+        finally:
             occ_df.unpersist()
+        if len(topk) == 0:
             return empty
-        idf = bm25_idf(n_docs, n_match)
-        k1, b = self.k1, self.b
-        tf = F.col("tf").cast("double")
-        dl = F.col("dl").cast("double")
-        # identical float64 op order to numpy bm25_tf_weight:
-        # tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)), then * idf
-        weight = (tf * F.lit(k1 + 1.0)) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
-        )
-        return (
-            occ_df.join(reader.docs().select("doc_id", "dl"), "doc_id")
-            .withColumn("score", F.round(F.lit(idf) * weight, round_to))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", "score")
-        )
+        return self.spark.createDataFrame(topk, "doc_id long, score double")
 
-    def _dl_from_postings(self, reader, term: str) -> dict[int, int]:
-        """doc_id → dl from ONE term's postings rows (coordinator pyarrow
-        scan, same pushdown shape as the positions read)."""
+    def _dl_from_postings(
+        self, reader, term: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, aligned dls) from ONE term's postings rows
+        (coordinator pyarrow scan, same pushdown shape as the positions
+        read). Arrays, not a dict: callers look up candidates with one
+        ``searchsorted`` — no per-entry Python loop even when a "rare"
+        term has millions of postings at full scale."""
         import pyarrow.dataset as pads
 
-        out: dict[int, int] = {}
+        id_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
         for dset, names in reader._postings_datasets():  # noqa: SLF001
             flt = pads.field("term") == term
             if names is not None:
@@ -832,17 +859,20 @@ class PositionsReader:
                 columns=["doc_ids", "dls"], filter=flt
             )
             for row in range(tbl.num_rows):
-                ids = np.cumsum(
+                id_parts.append(np.cumsum(
                     codec.varint_decode(
                         tbl["doc_ids"][row].as_py()
                     ).astype(np.int64)
-                )
-                dls = codec.varint_decode(tbl["dls"][row].as_py()).astype(
-                    np.int64
-                )
-                for d, length in zip(ids, dls, strict=True):
-                    out[int(d)] = int(length)
-        return out
+                ))
+                dl_parts.append(codec.varint_decode(
+                    tbl["dls"][row].as_py()
+                ).astype(np.int64))
+        if not id_parts:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        ids = np.concatenate(id_parts)
+        dls = np.concatenate(dl_parts)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], dls[order]
 
 
 # --------------------------------------------------------------------------

@@ -320,21 +320,27 @@ def ivf_assign(
     round_to: int = 6,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
-    rank by rounded cosine (ties → lowest centroid id, so the assignment
-    is reproducible in any engine)."""
-    joined = df.join(F.broadcast(centroids))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_sim"), F.asc("centroid_id")
+    argmax by rounded cosine (ties → lowest centroid id, so the assignment
+    is reproducible in any engine).
+
+    The argmax is ``max_by`` over a ``groupBy(id)`` — a declarative
+    aggregate with a partial (map-side) stage, so the corpus×k rows
+    collapse to one row per vector BEFORE the shuffle. The previous
+    ``row_number()`` window shuffled all corpus×k rows to sort them."""
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), F.col("centroid")), round_to
+    )
+    # struct order: highest sim, then highest -centroid_id = lowest id
+    ordkey = F.struct(
+        sim.alias("s"), (-F.col("centroid_id")).alias("c")
     )
     return (
-        joined.withColumn(
-            "_sim",
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col("centroid")), round_to
-            ),
+        df.join(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("centroid_id", ordkey).alias("centroid_id"),
+            F.first(vec_col).alias(vec_col),
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "centroid_id")
     )
 

@@ -193,3 +193,48 @@ def test_positions_near_property(docs, slop, ordered):
         if hit:
             want.append(d)
     assert got == sorted(want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    slop=st.integers(min_value=0, max_value=4),
+    ordered=st.booleans(),
+)
+def test_positions_near_same_term_property(docs, slop, ordered):
+    """term_a == term_b: a span may not match itself — a doc qualifies iff
+    it has two DISTINCT occurrences within slop (consecutive gap suffices:
+    the nearest distinct pair is always adjacent in position order)."""
+    a_t = "a"
+    doc_toks = {i + 1: t for i, t in enumerate(docs)}
+    ids = _pa.array(sorted(doc_toks), type=_pa.int64())
+    toks = _pa.array([doc_toks[d] for d in sorted(doc_toks)],
+                     type=_pa.list_(_pa.string()))
+    out = _P._pack_group_arrow(ids, toks)
+    if out is None:
+        return
+    pdf = _pd.DataFrame(
+        {
+            "term": out[0].to_pylist(),
+            "seg": "s0",
+            "part": 0,
+            "n_docs": out[1].to_pylist(),
+            "doc_ids": out[2].to_pylist(),
+            "pos_counts": out[3].to_pylist(),
+            "positions": out[4].to_pylist(),
+        }
+    )
+    keyed, lookup, m = _P._decode_keyed(pdf, required_all=[a_t])
+    got = sorted(
+        _P._near_docs_keyed(keyed, lookup, m, a_t, a_t, slop, ordered)
+    )
+    want = []
+    for d, tok in doc_toks.items():
+        pa_ = [i for i, t in enumerate(tok) if t == a_t]
+        if any(q - p <= slop for p, q in zip(pa_, pa_[1:], strict=False)):
+            want.append(d)
+    assert got == sorted(want)

@@ -132,6 +132,38 @@ def test_agg_has_partial_stage(spark, tpch):
     assert plans.count_exchanges(q) == 1     # exactly one shuffle
 
 
+def test_ivf_assign_is_partial_aggregate_not_window(spark):
+    """Round-4 pin: nearest-centroid assignment must plan as a map-side
+    partial aggregate (max_by) — corpus×k rows collapse before the shuffle
+    — never as a row_number() window sorting corpus×k rows."""
+    import numpy as np
+
+    from kafka_connect_opensearch_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(df, k=4)
+    q = similarity.ivf_assign(df, cents)
+    plan = plans.executed_plan(q)
+    assert "Window" not in plan
+    aggs = plan.count("HashAggregate") + plan.count("SortAggregate") \
+        + plan.count("ObjectHashAggregate")
+    assert aggs >= 2  # partial + final
+    # correctness: every vector assigned to its true argmax centroid
+    got = {r["vec_id"]: r["centroid_id"] for r in q.collect()}
+    cent = {r["centroid_id"]: np.array(r["centroid"])
+            for r in cents.collect()}
+    for vid, emb in rows:
+        v = np.array(emb)
+        sims = {
+            cid: round(float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 6)
+            for cid, c in cent.items()
+        }
+        best = max(sims, key=lambda c: (sims[c], -c))
+        assert got[vid] == best, (vid, got[vid], best)
+
+
 def test_significant_terms_bg_read_is_term_scoped(spark, tmp_path, monkeypatch):
     """Round-4 pin: significant_terms' background df must come from a
     term-scoped postings read (the fg candidate vocabulary), never a

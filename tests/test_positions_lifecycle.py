@@ -226,3 +226,41 @@ def test_positions_reader_requires_flag(spark, tmp_path):
         raise AssertionError("expected ValueError for positions-less index")
     except ValueError as e:
         assert "positions" in str(e)
+
+
+def test_near_same_term_requires_two_distinct_spans(spark, tmp_path):
+    """span_near with term_a == term_b must not let an occurrence match
+    itself: only docs with TWO occurrences within slop qualify. Identical
+    on the coordinator-local and distributed paths, ordered or not."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    for thr in (2_000_000, 0):  # local AND distributed scorer
+        for ordered in (False, True):
+            # doc 5: alpha@0,1,2 (gap 1); doc 2: alpha@1,4 (gap 3)
+            got1 = _ids(pr.near_docs("alpha", "alpha", slop=1,
+                                     ordered=ordered, local_threshold=thr))
+            got3 = _ids(pr.near_docs("alpha", "alpha", slop=3,
+                                     ordered=ordered, local_threshold=thr))
+            assert got1 == [5], (thr, ordered, got1)
+            assert got3 == [2, 5], (thr, ordered, got3)
+    # engine-latency path too
+    assert pr.near_match_ids("alpha", "alpha", slop=1) == [5]
+
+
+def test_phrase_topk_releases_cache(spark, tmp_path):
+    """The distributed phrase_topk branch caches the occurrence frame for
+    its count + join; the cache must be gone once the top-k is returned
+    (round-3 leaked it on the hit path)."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    before = jsc.getPersistentRDDs().size()  # other tests may hold caches
+    out = pr.phrase_topk("alpha beta", k=3, local_threshold=0)  # force dist
+    rows = out.collect()
+    assert rows and rows[0]["doc_id"] in (1, 2, 4)
+    assert jsc.getPersistentRDDs().size() <= before
+    # parity: distributed branch == local branch, bit-for-bit
+    local = pr.phrase_topk("alpha beta", k=3).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in local
+    ]
