@@ -333,6 +333,147 @@ def _decode_keyed(
     return out, lookup, M
 
 
+# --------------------------------------------------------------------------
+# hot-term decode cache (coordinator path)
+#
+# Hot-hot phrases ("of the") are decode-bound: the required_all pre-filter
+# cannot shrink either list, so every query re-pays ~120 ms per million
+# positions of varint work. Lucene's answer is positional skip data; the
+# coordinator-local analog here is caching each hot term's DECODED arrays
+# per reader snapshot and rebuilding only the (query-relative) keys per
+# query — a lexsort over entries plus one repeat/add over positions,
+# roughly an order of magnitude cheaper than the decode it replaces.
+# The cached form is keying-independent: (canonical group id, doc_id,
+# pos_count) per entry plus absolute positions, so any mix of query terms
+# can share one slot space. Distributed tasks never cache (one-shot
+# processes); the local fallback for all-cold queries is the byte-slicing
+# _decode_keyed path unchanged.
+# --------------------------------------------------------------------------
+
+
+def _gather_ranges(
+    arr: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Concatenate ``arr[starts[i]:starts[i]+lens[i]]`` slices, vectorized."""
+    if lens.size == 0:
+        return arr[:0]
+    total = int(lens.sum())
+    if total == 0:
+        return arr[:0]
+    ends = np.cumsum(lens)
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - lens, lens)
+        + np.repeat(starts, lens)
+    )
+    return arr[idx]
+
+
+def _rows_to_parts(
+    rows: pd.DataFrame, gid_of_row: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One term's packed rows → ``(gid, doc_ids, pos_counts, positions)``
+    entry-aligned arrays (positions absolute, resetting per entry). The
+    cacheable decoded form — no query-relative keying."""
+    d_vals, d_row = codec.varint_decode_concat(list(rows["doc_ids"]))
+    if d_vals.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e
+    row_change = np.empty(d_row.size, dtype=bool)
+    row_change[0] = True
+    np.not_equal(d_row[1:], d_row[:-1], out=row_change[1:])
+    ids = codec.cumsum_with_resets(
+        d_vals.astype(np.int64), np.nonzero(row_change)[0]
+    )
+    c_vals, _ = codec.varint_decode_concat(list(rows["pos_counts"]))
+    cnts = c_vals.astype(np.int64)
+    p_vals = codec.varint_decode(b"".join(rows["positions"]))
+    starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    pos = codec.cumsum_with_resets(p_vals.astype(np.int64), starts)
+    gid = gid_of_row[d_row]
+    return gid, ids, cnts, pos
+
+
+def _keyed_from_parts(
+    parts: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    required_all: list[str] | None = None,
+    required_any: list[str] | None = None,
+) -> tuple[dict[str, np.ndarray], np.ndarray, int]:
+    """Assemble the query-relative ``(keyed, lookup, M)`` from per-term
+    decoded parts — semantics identical to :func:`_decode_keyed` (same
+    slot construction, same required_all/any pre-filter), but with every
+    varint already paid."""
+    terms = [t for t in parts if parts[t][1].size]
+    if not terms:
+        return _EMPTY_KEYED
+    sizes = [parts[t][1].size for t in terms]
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    gid_all = np.concatenate([parts[t][0] for t in terms])
+    ids_all = np.concatenate([parts[t][1] for t in terms])
+    order = np.lexsort((ids_all, gid_all))
+    new = np.empty(ids_all.size, dtype=bool)
+    new[0] = True
+    new[1:] = (gid_all[order][1:] != gid_all[order][:-1]) | (
+        ids_all[order][1:] != ids_all[order][:-1]
+    )
+    slots_all = np.empty(ids_all.size, dtype=np.int64)
+    slots_all[order] = np.cumsum(new) - 1
+    lookup = ids_all[order][new]
+    slot_t = {
+        t: slots_all[offs[i]:offs[i + 1]] for i, t in enumerate(terms)
+    }
+
+    ok = None
+    if required_all or required_any:
+        n_slots = lookup.size
+        ok = np.ones(n_slots, dtype=bool)
+        for t in required_all or []:
+            if t not in slot_t:
+                return _EMPTY_KEYED
+            has = np.zeros(n_slots, dtype=bool)
+            has[slot_t[t]] = True
+            ok &= has
+        if required_any:
+            anyh = np.zeros(n_slots, dtype=bool)
+            for t in required_any:
+                if t in slot_t:
+                    anyh[slot_t[t]] = True
+            ok &= anyh
+        if not ok.any():
+            return _EMPTY_KEYED
+        if ok.all():
+            ok = None
+
+    mx = 0
+    for t in terms:
+        p = parts[t][3]
+        if p.size:
+            mx = max(mx, int(p.max()))
+    M = mx + 2 + _KEY_MARGIN
+    out: dict[str, np.ndarray] = {}
+    for t in terms:
+        _gid, _ids, cnts, pos = parts[t]
+        st = slot_t[t]
+        if ok is not None:
+            keep = ok[st]
+            if not keep.all():
+                starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+                lens = cnts[keep]
+                k = (
+                    np.repeat(st[keep], lens) * M
+                    + _gather_ranges(pos, starts[keep], lens)
+                )
+                if k.size > 1 and not (k[1:] >= k[:-1]).all():
+                    k.sort()
+                out[t] = k
+                continue
+        k = np.repeat(st, cnts) * M + pos
+        if k.size > 1 and not (k[1:] >= k[:-1]).all():
+            k.sort()
+        out[t] = k
+    return out, lookup, M
+
+
 def _phrase_occ_keyed(
     keyed: dict[str, np.ndarray],
     lookup: np.ndarray,
@@ -477,12 +618,22 @@ class PositionsReader:
         self._segments = self.store.active_segments()
         self._stats = self.store.global_stats()
         self._datasets = None
+        # hot-term decode cache: term → decoded parts for THIS manifest
+        # snapshot; refresh() (new commits/merges) drops it wholesale.
+        self.hot_min_entries = 10_000
+        self.cache_max_values = 32_000_000  # ≈ 0.5 GB of int64 arrays
+        self._term_cache: dict[str, tuple] = {}
+        self._cache_values = 0
+        self._group_ids: dict[tuple[str, int], int] = {}
 
     def refresh(self) -> None:
         """Re-read the manifest (after new commits/merges)."""
         self._segments = self.store.active_segments()
         self._stats = self.store.global_stats()
         self._datasets = None
+        self._term_cache.clear()
+        self._cache_values = 0
+        self._group_ids.clear()
 
     def _positions_datasets(self):
         """Cached pyarrow dataset handles (coordinator path) — mirrors
@@ -559,6 +710,82 @@ class PositionsReader:
             ["seg", "part"], ignore_index=True, kind="stable"
         )
 
+    def _canonical_gids(self, rows: pd.DataFrame) -> np.ndarray:
+        """Stable int code per row for its (seg, part) group — assigned on
+        first sight and held for the reader snapshot's lifetime, so parts
+        cached by different queries share one group-id space."""
+        segs = rows["seg"].astype(str).to_numpy()
+        parts_ = rows["part"].to_numpy()
+        out = np.empty(len(rows), dtype=np.int64)
+        gids = self._group_ids
+        for i in range(len(rows)):
+            key = (segs[i], int(parts_[i]))
+            g = gids.get(key)
+            if g is None:
+                g = len(gids)
+                gids[key] = g
+            out[i] = g
+        return out
+
+    def _parts_size(self, p: tuple) -> int:
+        return int(p[1].size) * 3 + int(p[3].size)
+
+    def _decode_local(
+        self,
+        uniq: list[str],
+        entries: dict[str, int],
+        required_all: list[str] | None = None,
+        required_any: list[str] | None = None,
+    ) -> tuple[dict[str, np.ndarray], np.ndarray, int]:
+        """Coordinator decode with the hot-term cache. Terms already in the
+        cache (or hot enough to join it: ≥ ``hot_min_entries`` postings
+        entries) are decoded once per reader snapshot; only cold terms'
+        rows are re-read per query. When NO query term is hot the original
+        byte-slicing ``_decode_keyed`` path runs unchanged (it decodes the
+        positions of only the pre-filter's surviving docs — better for
+        one-shot rare+rare queries)."""
+        cached = [t for t in uniq if t in self._term_cache]
+        hot_new = [
+            t for t in uniq
+            if t not in self._term_cache
+            and entries.get(t, 0) >= self.hot_min_entries
+        ]
+        if not cached and not hot_new:
+            rows = self._local_rows(uniq)
+            if not len(rows):
+                return _EMPTY_KEYED
+            return _decode_keyed(
+                rows, _group_codes(rows),
+                required_all=required_all, required_any=required_any,
+            )
+        parts: dict[str, tuple] = {t: self._term_cache[t] for t in cached}
+        missing = [t for t in uniq if t not in parts]
+        if missing:
+            rows = self._local_rows(missing)
+            for t in missing:
+                sub = rows[rows["term"] == t]
+                if not len(sub):
+                    continue
+                p = _rows_to_parts(sub, self._canonical_gids(sub))
+                parts[t] = p
+                if t in hot_new:
+                    need = self._parts_size(p)
+                    if need <= self.cache_max_values:
+                        while (
+                            self._term_cache
+                            and self._cache_values + need
+                            > self.cache_max_values
+                        ):
+                            old = next(iter(self._term_cache))
+                            self._cache_values -= self._parts_size(
+                                self._term_cache.pop(old)
+                            )
+                        self._term_cache[t] = p
+                        self._cache_values += need
+        return _keyed_from_parts(
+            parts, required_all=required_all, required_any=required_any
+        )
+
     def _spark_rows(self, terms: list[str]) -> DataFrame:
         """Distributed read of the query terms' rows (filter pushed to the
         parquet scan; sorted layout prunes row groups)."""
@@ -586,11 +813,8 @@ class PositionsReader:
         if any(t not in entries for t in uniq):
             return self.spark.createDataFrame(empty_pdf, schema)
         if sum(entries.values()) <= local_threshold:
-            rows = self._local_rows(uniq)
-            if not len(rows):
-                return self.spark.createDataFrame(empty_pdf, schema)
             kw = decode_kwargs or {}
-            out = core(*_decode_keyed(rows, _group_codes(rows), **kw))
+            out = core(*self._decode_local(uniq, entries, **kw))
             merged = (
                 out.sort_values("doc_id", ignore_index=True)
                 if len(out)
@@ -615,11 +839,11 @@ class PositionsReader:
         if not terms:
             return []
         uniq = sorted(set(terms))
-        if any(t not in self.term_entries(uniq) for t in uniq):
+        entries = self.term_entries(uniq)
+        if any(t not in entries for t in uniq):
             return []
-        rows = self._local_rows(uniq)
-        keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
-                                         required_all=uniq)
+        keyed, lookup, m = self._decode_local(uniq, entries,
+                                              required_all=uniq)
         return sorted(_phrase_occ_keyed(keyed, lookup, m, terms)["doc_id"])
 
     def near_match_ids(
@@ -630,9 +854,8 @@ class PositionsReader:
         entries = self.term_entries(uniq)
         if any(t not in entries for t in uniq):
             return []
-        rows = self._local_rows(uniq)
-        keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
-                                         required_all=uniq)
+        keyed, lookup, m = self._decode_local(uniq, entries,
+                                              required_all=uniq)
         return sorted(
             _near_docs_keyed(keyed, lookup, m, term_a, term_b, slop, ordered)
         )
@@ -782,9 +1005,8 @@ class PositionsReader:
             return empty
         reader = IndexReader(self.spark, self.store.index_dir)
         if sum(entries.values()) <= local_threshold:
-            rows = self._local_rows(uniq)
-            keyed, lookup, m = _decode_keyed(rows, _group_codes(rows),
-                                             required_all=uniq)
+            keyed, lookup, m = self._decode_local(uniq, entries,
+                                                  required_all=uniq)
             part_occ = _phrase_occ_keyed(keyed, lookup, m, terms)
             cand = np.asarray(part_occ["doc_id"], dtype=np.int64)
             if cand.size == 0:

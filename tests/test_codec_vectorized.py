@@ -238,3 +238,80 @@ def test_positions_near_same_term_property(docs, slop, ordered):
         if any(q - p <= slop for p, q in zip(pa_, pa_[1:], strict=False)):
             want.append(d)
     assert got == sorted(want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    g1=st.lists(st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=10),
+                min_size=1, max_size=5),
+    g2=st.lists(st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=10),
+                min_size=0, max_size=5),
+    req_all=st.lists(st.sampled_from(_TOKENS), max_size=2),
+    req_any=st.lists(st.sampled_from(_TOKENS), max_size=2),
+    phrase=st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=3),
+)
+def test_keyed_from_parts_equals_decode_keyed(g1, g2, req_all, req_any,
+                                              phrase):
+    """The hot-term-cache assembly (_rows_to_parts → _keyed_from_parts)
+    must be semantically identical to _decode_keyed on random multi-group
+    corpora with random required_all/required_any filters: same per-term
+    (doc, pos) sets after filtering, same phrase results."""
+    import numpy as _np
+
+    rows_parts = []
+    docbase = 1
+    for gi, docs in enumerate((g1, g2)):
+        if not docs:
+            continue
+        doc_toks = {docbase + i: t for i, t in enumerate(docs)}
+        docbase += len(docs) + 7
+        ids = _pa.array(sorted(doc_toks), type=_pa.int64())
+        toks = _pa.array([doc_toks[d] for d in sorted(doc_toks)],
+                         type=_pa.list_(_pa.string()))
+        out = _P._pack_group_arrow(ids, toks)
+        if out is None:
+            continue
+        rows_parts.append(_pd.DataFrame(
+            {
+                "term": out[0].to_pylist(),
+                "seg": f"s{gi}",
+                "part": gi,
+                "n_docs": out[1].to_pylist(),
+                "doc_ids": out[2].to_pylist(),
+                "pos_counts": out[3].to_pylist(),
+                "positions": out[4].to_pylist(),
+            }
+        ))
+    if not rows_parts:
+        return
+    pdf = _pd.concat(rows_parts, ignore_index=True)
+    kw = {
+        "required_all": sorted(set(req_all)) or None,
+        "required_any": sorted(set(req_any)) or None,
+    }
+    ka, la, Ma = _P._decode_keyed(pdf, _P._group_codes(pdf), **kw)
+
+    gids = {}
+    parts = {}
+    for t in sorted(set(pdf["term"])):
+        sub = pdf[pdf["term"] == t]
+        codes = _np.empty(len(sub), dtype=_np.int64)
+        for i, (s, p) in enumerate(zip(sub["seg"], sub["part"],
+                                       strict=True)):
+            codes[i] = gids.setdefault((s, int(p)), len(gids))
+        parts[t] = _P._rows_to_parts(sub, codes)
+    kb, lb, Mb = _P._keyed_from_parts(parts, **kw)
+
+    def sem(keyed, lookup, M):
+        return {
+            t: sorted(
+                (int(lookup[k // M]), int(k % M)) for k in keyed[t]
+            )
+            for t in keyed if keyed[t].size
+        }
+    assert sem(ka, la, Ma) == sem(kb, lb, Mb)
+    pa_df = _P._phrase_occ_keyed(ka, la, Ma, phrase)
+    pb_df = _P._phrase_occ_keyed(kb, lb, Mb, phrase)
+    assert sorted(zip(pa_df["doc_id"], pa_df["tf"], strict=True)) == sorted(
+        zip(pb_df["doc_id"], pb_df["tf"], strict=True)
+    )

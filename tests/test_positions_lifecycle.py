@@ -264,3 +264,45 @@ def test_phrase_topk_releases_cache(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in rows] == [
         (r["doc_id"], r["score"]) for r in local
     ]
+
+
+def test_hot_term_decode_cache_parity_and_invalidation(spark, tmp_path):
+    """Round-4 hot-term decode cache: with the hot threshold forced to 1
+    every local query runs off cached decoded arrays after its first
+    execution — results must be identical to the uncached byte-slicing
+    path, and refresh() must drop the cache so post-merge queries see the
+    merged store."""
+    d, cfg = _build(spark, tmp_path)
+    cold = PositionsReader(spark, d)
+    cold.hot_min_entries = 10**9          # cache never engages
+    hot = PositionsReader(spark, d)
+    hot.hot_min_entries = 1               # everything caches
+
+    checks = [
+        lambda pr: _ids(pr.phrase_docs("alpha beta")),
+        lambda pr: _ids(pr.phrase_docs("alpha alpha")),
+        lambda pr: pr.phrase_match_ids("beta gamma"),
+        lambda pr: pr.near_match_ids("alpha", "beta", slop=2),
+        lambda pr: pr.near_match_ids("alpha", "beta", slop=4, ordered=True),
+        lambda pr: _ids(pr.phrase_prefix_docs("alpha b")),
+        lambda pr: sorted(
+            (r["doc_id"], r["score"])
+            for r in pr.phrase_topk("alpha beta", k=5).collect()
+        ),
+    ]
+    for chk in checks:
+        want = chk(cold)
+        assert chk(hot) == want          # first run fills the cache
+        assert chk(hot) == want          # second run is served from it
+    assert hot._term_cache               # the cache actually engaged
+
+    # merge-with-delete → refresh must invalidate: the cached 'alpha'
+    # arrays may not leak doc 2's stale positions
+    deletes = spark.createDataFrame([("2",)], "doc_key string")
+    merge_segments(spark, d, cfg, delete_doc_keys=deletes)
+    hot.refresh()
+    assert not hot._term_cache
+    assert 2 not in set(hot.phrase_match_ids("alpha beta"))
+    cold.refresh()
+    assert hot.phrase_match_ids("alpha beta") == \
+        cold.phrase_match_ids("alpha beta")
