@@ -360,6 +360,104 @@ def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSM_QUERY, MSM_MIN = "hash merge window", 2
+BOOSTS = {"hash": 2.0, "table": 0.5}
+SPAN_FIRST_TERM, SPAN_FIRST_END = "hash", 5
+FILTER_LANG = "en"
+
+
+def q_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch bool filter context: BM25 match scored over the whole
+    corpus (filters never change term statistics), hits restricted to
+    lang='en' docs by a left-semi join, then top-k."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    res = reader.search_filtered(
+        BM25_QUERY, docs.filter(F.col("lang") == FILTER_LANG), k=10
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after cursor pagination: ranks 11-20 of the BM25 ordering,
+    reached via the rank-10 cursor (score, doc_id) — no offset sort."""
+    reader = _get_index(spark, sf_dir)
+    page1 = reader.search_topk(BM25_QUERY, k=10)
+    if len(page1) < 10:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cd, cs = page1[-1]
+    res = reader.search_after(BM25_QUERY, cs, cd, k=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match=2 of 3 terms: ≥2 distinct query terms must
+    occur; score sums BM25 over the matched terms."""
+    reader = _get_index(spark, sf_dir)
+    res = reader.search_min_should_match(MSM_QUERY, MSM_MIN, k=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time term boosts (hash^2, table^0.5): weight = boost·idf."""
+    reader = _get_index(spark, sf_dir)
+    res = reader.search_boosted(BOOSTS, k=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_span_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_first: docs whose term occurs within the first N positions —
+    a TRUE positional-store query (no source rescan)."""
+    return (
+        _get_positions(spark, sf_dir)
+        .span_first_docs(SPAN_FIRST_TERM, SPAN_FIRST_END)
+        .orderBy("doc_id")
+    )
+
+
+def q_terms_agg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch terms aggregation with a sub-aggregation: source buckets
+    (top 10 by count, deterministic tie-break) with avg(n_chars)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n"), F.asc("source"))
+        .limit(10)
+    )
+
+
+def q_cardinality_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch cardinality aggregation (exact here — the approximate
+    HLL trade-off is an optimization, not a semantics change): distinct
+    users per event_type."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("users"))
+        .orderBy("event_type")
+    )
+
+
+def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch percentiles aggregation: p50/p95/p99 of value per
+    event_type (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    interpolation)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _get_index(spark, sf_dir)
     return spark.createDataFrame([(reader.doc_count(),)], "n long")
@@ -963,6 +1061,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_match_ordered": q_near_match_ordered,
         "fielded_match_count": q_fielded_match_count,
         "search_collapse": q_search_collapse,
+        "search_filtered": q_search_filtered,
+        "search_after": q_search_after,
+        "msm_topk": q_msm_topk,
+        "boosted_topk": q_boosted_topk,
+        "span_first_match": q_span_first_match,
+        "terms_agg_source": q_terms_agg_source,
+        "cardinality_by_type": q_cardinality_by_type,
+        "percentiles_by_type": q_percentiles_by_type,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -996,6 +1102,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --- DuckDB oracles ----------------------------------------------------------
+
+
+def _bm25_scores_cte(term_weights: dict[str, float], having: str = "") -> str:
+    """Shared DuckDB BM25 skeleton: WITH-block ending in a ``scores``
+    CTE (doc_id, raw). ``term_weights`` is the per-term query weight
+    (qtf·boost); ``having`` appends a HAVING clause to the doc grouping
+    (AND-mode / minimum_should_match)."""
+    values = ", ".join(
+        f"('{t}', {w!r})" for t, w in sorted(term_weights.items())
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+),
+dstats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks)::DOUBLE AS dl FROM docs
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN (VALUES {values}) q(term, qtf) ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  CROSS JOIN dstats s
+  GROUP BY tf.doc_id
+  {having}
+)"""
 
 
 def _bm25_sql(mode: str) -> str:
@@ -1301,6 +1445,61 @@ ORDER BY doc_id
 """,
         "search_highlight": _search_highlight_sql(),
         "search_collapse": _search_collapse_sql(),
+        "search_filtered": _bm25_scores_cte(
+            dict.fromkeys(BM25_QUERY.split(), 1.0)
+        ) + f"""
+SELECT doc_id, round(raw, 4) AS score
+FROM (
+  SELECT s.doc_id, s.raw FROM scores s
+  JOIN documents d USING (doc_id)
+  WHERE d.lang = '{FILTER_LANG}'
+  ORDER BY s.raw DESC, s.doc_id ASC LIMIT 10
+) t
+""",
+        "search_after": _bm25_scores_cte(
+            dict.fromkeys(BM25_QUERY.split(), 1.0)
+        ) + """
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM scores
+      ORDER BY raw DESC, doc_id ASC LIMIT 10 OFFSET 10) t
+""",
+        "msm_topk": _bm25_scores_cte(
+            dict.fromkeys(MSM_QUERY.split(), 1.0),
+            having=f"HAVING count(DISTINCT tf.term) >= {MSM_MIN}",
+        ) + """
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+""",
+        "boosted_topk": _bm25_scores_cte(BOOSTS) + """
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+""",
+        "span_first_match": f"""
+SELECT doc_id FROM (
+  SELECT doc_id, list_position({_toks_sql('text')}, '{SPAN_FIRST_TERM}') AS p
+  FROM documents
+) WHERE p BETWEEN 1 AND {SPAN_FIRST_END}
+ORDER BY doc_id
+""",
+        "terms_agg_source": """
+SELECT source, n, avg_chars FROM (
+  SELECT source, count(*)::BIGINT AS n,
+         round(avg(n_chars), 6) AS avg_chars
+  FROM documents GROUP BY source
+  ORDER BY n DESC, source ASC LIMIT 10
+) t
+""",
+        "cardinality_by_type": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "percentiles_by_type": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
         "significant_terms": f"""
 WITH t AS (
   SELECT doc_id, {_toks_sql('text')} AS toks FROM documents

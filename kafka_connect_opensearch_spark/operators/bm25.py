@@ -270,6 +270,131 @@ class IndexReader:
         )
         return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_filtered(
+        self,
+        query: str,
+        filter_ids: DataFrame,
+        k: int = 10,
+        mode: str = "or",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """OpenSearch bool ``filter`` context: the structured filter
+        restricts the hit set but NEVER contributes to the score (and never
+        changes term statistics — scores are identical to the unfiltered
+        query, which is exactly Lucene's filter-context contract). Exact
+        scores for every match, left-semi joined against the filter's doc
+        ids, then the usual (score desc, doc_id) top-k."""
+        scored = self.score_matches(query, mode)
+        ids = filter_ids.select(F.col(id_col).alias("doc_id"))
+        return (
+            scored.join(ids, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_after(
+        self,
+        query: str,
+        after_score: float,
+        after_doc: int,
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """OpenSearch ``search_after`` cursor pagination: the next ``k``
+        hits strictly after the cursor in the total (score desc, doc_id
+        asc) order. Stateless and deep-page-safe — unlike from/size there
+        is no corpus-sized offset sort, just a filter + top-k."""
+        scored = self.score_matches(query, mode)
+        after = (F.col("score") < F.lit(float(after_score))) | (
+            (F.col("score") == F.lit(float(after_score)))
+            & (F.col("doc_id") > F.lit(int(after_doc)))
+        )
+        return (
+            scored.filter(after)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_min_should_match(
+        self,
+        query: str,
+        min_match: int,
+        k: int = 10,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """OpenSearch ``minimum_should_match``: a doc matches when at least
+        ``min_match`` DISTINCT query terms occur in it; the score sums BM25
+        over the matched terms. Candidate selection is one unique-with-
+        counts over the term posting lists per segment (ids are unique per
+        list, so the count IS the distinct-term count); same adaptive
+        local/distributed split as :meth:`search`."""
+        qterms = sorted(set(tokenize_py(query)))
+        n_docs, avgdl = self._stats
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not qterms or n_docs == 0 or min_match < 1:
+            return empty
+        dfs = self.term_stats(qterms)
+        present = [t for t in qterms if t in dfs]
+        if len(present) < min_match:
+            return empty
+        weights = {t: bm25_idf(n_docs, dfs[t]) for t in present}
+        scorer = _make_msm_segment_scorer(
+            weights, min_match, avgdl, self.k1, self.b, k
+        )
+        if sum(dfs[t] for t in present) <= local_threshold:
+            rows = self._local_topk(present, scorer, k)
+            if not rows:
+                return empty
+            pdf = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            return self.spark.createDataFrame(pdf, "doc_id long, score double")
+        local_topk = (
+            self.postings(present)
+            .groupBy("seg")
+            .applyInPandas(scorer, schema="doc_id long, score double")
+        )
+        return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_boosted(
+        self,
+        boosts: dict[str, float],
+        k: int = 10,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """Per-term query-time boosts (OpenSearch ``term^boost``): the
+        term's weight is boost·idf — everything else (candidates, top-k,
+        tie-break, adaptive split) is :meth:`search` with mode='or'."""
+        n_docs, avgdl = self._stats
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        terms = sorted(boosts)
+        if not terms or n_docs == 0:
+            return empty
+        dfs = self.term_stats(terms)
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return empty
+        weights = {
+            t: float(boosts[t]) * bm25_idf(n_docs, dfs[t]) for t in present
+        }
+        scorer = _make_segment_scorer(
+            weights, avgdl, self.k1, self.b, k, "or", self.block_size
+        )
+        if sum(dfs[t] for t in present) <= local_threshold:
+            rows = self._local_topk(present, scorer, k)
+            if not rows:
+                return empty
+            pdf = pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            return self.spark.createDataFrame(pdf, "doc_id long, score double")
+        local_topk = (
+            self.postings(present)
+            .groupBy("seg")
+            .applyInPandas(scorer, schema="doc_id long, score double")
+        )
+        return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def expand_prefix(self, prefix: str, max_terms: int = 50) -> list[str]:
         """Prefix-query rewrite (OpenSearch ``prefix`` /
         ``match_phrase_prefix``): dictionary terms starting with
@@ -1030,6 +1155,42 @@ def _exclude_from_lists(
         starts = np.arange(0, ids.size, block_size)
         out[t] = (ids, tfs, dls, np.maximum.reduceat(tfs, starts))
     return out
+
+
+def _make_msm_segment_scorer(
+    weights: dict[str, float],
+    min_match: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+):
+    """minimum_should_match candidate selection + exact scoring: a doc is
+    a candidate iff it appears in ≥ ``min_match`` of the term posting
+    lists (each list's ids are unique, so one unique-with-counts over the
+    concatenation counts distinct matched terms)."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = _decode_rows(pdf)
+        sd = {t: v for t, v in decoded.items() if t in weights}
+        if len(sd) < min_match:
+            return empty
+        allids = np.concatenate([v[0] for v in sd.values()])
+        cand, cnt = np.unique(allids, return_counts=True)
+        cand = cand[cnt >= min_match]
+        if cand.size == 0:
+            return empty
+        scores = _exact_scores(cand, sd, weights, avgdl, k1, b)
+        order = np.lexsort((cand, -scores))[:k]
+        return pd.DataFrame(
+            {"doc_id": cand[order].astype("int64"), "score": scores[order]}
+        )
+
+    return score_segment
 
 
 def _make_segment_counter(qterms: list[str], mode: str):

@@ -474,6 +474,18 @@ def _keyed_from_parts(
     return out, lookup, M
 
 
+def _isect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Values of sorted-unique ``a`` present in sorted-unique ``b``.
+    One ``searchsorted`` (O(|a|·log|b|)) — ``np.intersect1d`` re-sorts the
+    concatenation even when both inputs are sorted, which dominated the
+    hot-hot phrase chain once decode was cached."""
+    if a.size == 0 or b.size == 0:
+        return a[:0]
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = b.size - 1
+    return a[b[idx] == a]
+
+
 def _phrase_occ_keyed(
     keyed: dict[str, np.ndarray],
     lookup: np.ndarray,
@@ -482,8 +494,8 @@ def _phrase_occ_keyed(
 ) -> pd.DataFrame:
     """(doc_id, tf) of phrase matches — tf counts consecutive-position
     chains (overlapping occurrences count, matching the SQL chain-join
-    oracle). The WHOLE group intersects at once: one ``intersect1d`` per
-    chain step over keyed positions, never a per-doc loop."""
+    oracle). The WHOLE group intersects at once: one sorted intersection
+    per chain step over keyed positions, never a per-doc loop."""
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
          "tf": pd.Series([], dtype="int64")}
@@ -496,7 +508,7 @@ def _phrase_occ_keyed(
     for t in terms[1:]:
         if live.size == 0:
             return empty
-        live = np.intersect1d(live + 1, keyed[t], assume_unique=True)
+        live = _isect_sorted(live + 1, keyed[t])
     if live.size == 0:
         return empty
     slots, counts = np.unique(live // M, return_counts=True)
@@ -528,12 +540,12 @@ def _phrase_prefix_hits_keyed(
     for t in lead[1:]:
         if live.size == 0:
             return np.empty(0, dtype=np.int64)
-        live = np.intersect1d(live + 1, keyed[t], assume_unique=True)
+        live = _isect_sorted(live + 1, keyed[t])
     if live.size == 0:
         return np.empty(0, dtype=np.int64)
     nxt = live + 1
     hits = [
-        np.intersect1d(nxt, keyed[t], assume_unique=True)
+        _isect_sorted(nxt, keyed[t])
         for t in exp_present
     ]
     allk = np.concatenate(hits)
@@ -943,6 +955,39 @@ class PositionsReader:
                 "required_all": sorted(set(lead)),
                 "required_any": expansions,
             },
+        )
+
+    def span_first_docs(
+        self,
+        term: str,
+        end: int,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """OpenSearch ``span_first``: docs whose ``term`` has an occurrence
+        ending at or before position ``end`` — i.e. a 0-based token index
+        < ``end`` (equivalently a 1-based index ≤ ``end``, which is the
+        SQL oracle's ``list_position`` form). Same adaptive split as the
+        other positional queries; the decoded position is just
+        ``key mod M``, so the check is one vectorized compare."""
+
+        def core(keyed, lookup, m) -> pd.DataFrame:
+            ks = keyed.get(term)
+            if ks is None or ks.size == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            hit = ks[(ks % m) < end]
+            return pd.DataFrame(
+                {"doc_id": pd.Series(
+                    lookup[np.unique(hit // m)], dtype="int64"
+                )}
+            )
+
+        return self._run_grouped(
+            [term],
+            core,
+            "doc_id long",
+            {"doc_id": pd.Series([], dtype="int64")},
+            local_threshold,
+            decode_kwargs={"required_all": [term]},
         )
 
     def near_docs(

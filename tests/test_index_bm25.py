@@ -468,3 +468,113 @@ def test_search_bool_should_only_matches_bruteforce(spark, index_dir,
                                  k=10, **kwargs).toPandas()
         assert got["doc_id"].tolist() == ids[sel].tolist()
         np.testing.assert_array_equal(got["score"].to_numpy(), scores[sel])
+
+
+def test_search_min_should_match_bruteforce(spark, index_dir, corpus_pdf):
+    """msm=2 of 3: docs matching ≥2 distinct query terms, scored over the
+    matched terms — equals the numpy oracle; msm=1 equals plain OR."""
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+    from kafka_connect_opensearch_spark.operators.bm25 import bm25_idf
+
+    query, m = "return import ident_1", 2
+    reader = IndexReader(spark, index_dir)
+    toks = [tokenize_py(t) for t in corpus_pdf["content"]]
+    ids = corpus_pdf["doc_id"].to_numpy(dtype="int64")
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl, n = dls.mean(), len(toks)
+    k1, b = EngineConfig.k1, EngineConfig.b
+    qts = sorted(set(tokenize_py(query)))
+    scores = np.zeros(n)
+    nmatch = np.zeros(n, dtype=np.int64)
+    for t in qts:
+        tf = np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        has = tf > 0
+        nmatch += has
+        w = bm25_idf(n, df)
+        scores[has] += w * (
+            tf[has] * (k1 + 1.0)
+            / (tf[has] + k1 * (1.0 - b + b * dls[has] / avgdl))
+        )
+    idx = np.nonzero(nmatch >= m)[0]
+    sel = idx[np.lexsort((ids[idx], -scores[idx]))[:10]]
+    got = reader.search_min_should_match(query, m, k=10).toPandas()
+    assert got["doc_id"].tolist() == ids[sel].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), scores[sel])
+    # msm=1 degenerates to plain OR search
+    or_hits = reader.search(query, k=10, mode="or").toPandas()
+    msm1 = reader.search_min_should_match(query, 1, k=10).toPandas()
+    assert or_hits["doc_id"].tolist() == msm1["doc_id"].tolist()
+
+
+def test_search_boosted_scales_weights(spark, index_dir, corpus_pdf):
+    """term^boost: boost=1.0 for every term equals plain OR; a 2× boost on
+    one term is that term's contribution doubled (numpy oracle)."""
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+    from kafka_connect_opensearch_spark.operators.bm25 import bm25_idf
+
+    reader = IndexReader(spark, index_dir)
+    plain = reader.search("return ident_7", k=10).toPandas()
+    b1 = reader.search_boosted({"return": 1.0, "ident_7": 1.0}, k=10).toPandas()
+    assert plain["doc_id"].tolist() == b1["doc_id"].tolist()
+    np.testing.assert_array_equal(plain["score"].to_numpy(),
+                                  b1["score"].to_numpy())
+
+    boosts = {"return": 0.5, "ident_7": 3.0}
+    toks = [tokenize_py(t) for t in corpus_pdf["content"]]
+    ids = corpus_pdf["doc_id"].to_numpy(dtype="int64")
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl, n = dls.mean(), len(toks)
+    k1, b = EngineConfig.k1, EngineConfig.b
+    scores = np.zeros(n)
+    any_hit = np.zeros(n, dtype=bool)
+    for t, boost in boosts.items():
+        tf = np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        has = tf > 0
+        any_hit |= has
+        scores[has] += boost * bm25_idf(n, df) * (
+            tf[has] * (k1 + 1.0)
+            / (tf[has] + k1 * (1.0 - b + b * dls[has] / avgdl))
+        )
+    idx = np.nonzero(any_hit)[0]
+    sel = idx[np.lexsort((ids[idx], -scores[idx]))[:10]]
+    got = reader.search_boosted(boosts, k=10).toPandas()
+    assert got["doc_id"].tolist() == ids[sel].tolist()
+
+
+def test_search_after_pagination_no_overlap_no_gap(spark, index_dir):
+    """Pages via search_after tile the full ordering: page1+page2 ==
+    top-20, disjoint, in order."""
+    reader = IndexReader(spark, index_dir)
+    q = "return import def"
+    top20 = [(d, s) for d, s in reader.search_topk(q, k=20)]
+    page1 = reader.search_topk(q, k=10)
+    cd, cs = page1[-1]
+    page2 = reader.search_after(q, cs, cd, k=10).collect()
+    got = page1 + [(r["doc_id"], r["score"]) for r in page2]
+    assert [d for d, _ in got] == [d for d, _ in top20]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in top20])
+
+
+def test_search_filtered_scores_unchanged(spark, index_dir, corpus_pdf):
+    """Filter context: hits restricted to the filter's doc set, scores
+    IDENTICAL to the unfiltered query for surviving docs."""
+    reader = IndexReader(spark, index_dir)
+    allowed = corpus_pdf[corpus_pdf["doc_id"] % 3 == 0][["doc_id"]]
+    fdf = spark.createDataFrame(allowed)
+    got = reader.search_filtered("return import", fdf, k=10).toPandas()
+    assert len(got) > 0
+    assert (got["doc_id"] % 3 == 0).all()
+    full = {
+        r["doc_id"]: r["score"]
+        for r in reader.score_matches("return import").collect()
+    }
+    # (no iterrows: it coerces int64 ids to float64 and corrupts them)
+    for d, s in zip(got["doc_id"].tolist(), got["score"].tolist(),
+                    strict=True):
+        assert full[d] == s

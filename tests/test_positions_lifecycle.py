@@ -306,3 +306,18 @@ def test_hot_term_decode_cache_parity_and_invalidation(spark, tmp_path):
     cold.refresh()
     assert hot.phrase_match_ids("alpha beta") == \
         cold.phrase_match_ids("alpha beta")
+
+
+def test_span_first_docs(spark, tmp_path):
+    """span_first: term occurrence within the first N positions, local and
+    distributed paths identical."""
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    # beta positions: doc1@1, doc2@0, doc3@1, doc4@1, doc7@2, doc8@4
+    assert _ids(pr.span_first_docs("beta", 1)) == [2]
+    assert _ids(pr.span_first_docs("beta", 2)) == [1, 2, 3, 4]
+    assert _ids(pr.span_first_docs("beta", 5)) == [1, 2, 3, 4, 7, 8]
+    assert _ids(pr.span_first_docs("nosuch", 3)) == []
+    assert _ids(pr.span_first_docs("beta", 2, local_threshold=0)) == [
+        1, 2, 3, 4
+    ]
