@@ -361,6 +361,8 @@ def q_search_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MSM_QUERY, MSM_MIN = "hash merge window", 2
+REGEXP_Q = "st.*m|h.sh"     # alternation + dot — Java∩RE2∩Python subset
+SUGGEST_Q = "sow"           # fuzzy-neighborhood suggester seed
 BOOSTS = {"hash": 2.0, "table": 0.5}
 SPAN_FIRST_TERM, SPAN_FIRST_END = "hash", 5
 FILTER_LANG = "en"
@@ -412,6 +414,38 @@ def q_span_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _get_positions(spark, sf_dir)
         .span_first_docs(SPAN_FIRST_TERM, SPAN_FIRST_END)
         .orderBy("doc_id")
+    )
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this: the lowest-doc_id document seeds the query — its
+    top-3 tf·idf terms run as an OR search, the seed excluded."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    seed = docs.agg(F.min("doc_id")).collect()[0][0]
+    res = reader.more_like_this(seed, docs, k=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_regexp_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch regexp query: anchored dictionary rewrite → OR count."""
+    reader = _get_index(spark, sf_dir)
+    n = reader.regexp_match_count(REGEXP_Q)
+    return spark.createDataFrame([(n,)], "n long")
+
+
+def q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggester: corrections within edit distance 2, ranked by
+    (distance, popularity, term)."""
+    reader = _get_index(spark, sf_dir)
+    rows = reader.suggest(SUGGEST_Q, max_edits=2, size=3)
+    if not rows:
+        return spark.createDataFrame(
+            [], "term string, distance long, df long"
+        )
+    return spark.createDataFrame(
+        [(t, int(d), int(df)) for t, d, df in rows],
+        "term string, distance long, df long",
     )
 
 
@@ -1066,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_topk": q_msm_topk,
         "boosted_topk": q_boosted_topk,
         "span_first_match": q_span_first_match,
+        "mlt_topk": q_mlt_topk,
+        "regexp_match_count": q_regexp_match_count,
+        "suggest_term": q_suggest_term,
         "terms_agg_source": q_terms_agg_source,
         "cardinality_by_type": q_cardinality_by_type,
         "percentiles_by_type": q_percentiles_by_type,
@@ -1480,6 +1517,54 @@ SELECT doc_id FROM (
   FROM documents
 ) WHERE p BETWEEN 1 AND {SPAN_FIRST_END}
 ORDER BY doc_id
+""",
+        "mlt_topk": _bm25_scores_cte({"__mlt__": 1.0}).replace(
+            'JOIN (VALUES (\'__mlt__\', 1.0)) q(term, qtf)',
+            'JOIN mlt q',
+        ).replace(
+            "scores AS (",
+            f"""seed AS (SELECT min(doc_id) AS sid FROM documents),
+mlt AS (
+  SELECT term, 1.0 AS qtf FROM (
+    SELECT tf.term, round(tf.tf * ln(s.n / df.df), 6) AS w
+    FROM tf JOIN df USING (term) CROSS JOIN dstats s
+    WHERE tf.doc_id = (SELECT sid FROM seed)
+    ORDER BY w DESC, tf.term ASC LIMIT 3
+  )
+),
+scores AS (""",
+        ) + """
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM scores WHERE doc_id != (SELECT sid FROM seed)
+      ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+""",
+        "regexp_match_count": f"""
+WITH expansion AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM (
+      SELECT unnest({_toks_sql('text')}) AS term FROM documents
+    ) WHERE regexp_full_match(term, '{REGEXP_Q}')
+  ) ORDER BY term LIMIT 50
+)
+SELECT count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents
+  ) WHERE term IN (SELECT term FROM expansion)
+  GROUP BY doc_id
+)
+""",
+        "suggest_term": f"""
+WITH dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents)
+  GROUP BY term
+)
+SELECT term, levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance, df
+FROM dict
+WHERE term != '{SUGGEST_Q}'
+  AND abs(len(term) - {len(SUGGEST_Q)}) <= 2
+  AND levenshtein(term, '{SUGGEST_Q}') <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 3
 """,
         "terms_agg_source": """
 SELECT source, n, avg_chars FROM (

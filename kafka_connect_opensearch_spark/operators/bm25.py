@@ -535,6 +535,143 @@ class IndexReader:
         terms = self.expand_wildcard(pattern, max_terms)
         return self.match_count(" ".join(terms), mode="or") if terms else 0
 
+    def expand_regexp(
+        self,
+        regex: str,
+        max_terms: int = 50,
+        local_threshold: int = 1_000_000,
+    ) -> list[str]:
+        """Regexp-query rewrite (OpenSearch ``regexp``): dictionary terms
+        FULLY matching ``regex``, first ``max_terms`` alphabetically.
+        Anchored like Lucene (the pattern must cover the whole term); a
+        literal prefix, when the pattern starts with one, seeds a range
+        scan on the sorted dictionary. Portable patterns are the
+        Java∩RE2∩Python subset (literals, classes, ``.``, ``*``, ``+``,
+        ``|``, groups) — the same constraint OpenSearch documents for its
+        own regexp syntax."""
+        import re as _re
+
+        m = _re.match(r"[a-z0-9_]+", regex)
+        lead = m.group(0) if m else ""
+        rest = regex[len(lead):]
+        if "|" in regex:
+            # an alternation branch can bypass the literal prefix — no
+            # range seed (a top-level-only parse would need a full regex
+            # AST; Lucene gets this from the compiled automaton's common
+            # prefix, the conservative analog here is a full dict scan)
+            lead = ""
+        elif rest[:1] in ("*", "?", "{"):
+            lead = lead[:-1]  # quantifier makes the last literal optional
+        vocab_rows = sum(s.n_terms for s in self._segments)
+        if vocab_rows <= local_threshold:
+            import pyarrow.dataset as pads
+
+            cand: set[str] = set()
+            for dset, names in self._postings_datasets():
+                flt = None
+                if lead:
+                    upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+                    flt = (pads.field("term") >= lead) & (
+                        pads.field("term") < upper
+                    )
+                if names is not None:
+                    seg_f = pads.field("seg").isin(names)
+                    flt = seg_f if flt is None else flt & seg_f
+                tbl = dset.to_table(columns=["term"], filter=flt)
+                cand.update(tbl["term"].to_pylist())
+            rx = _re.compile(f"^(?:{regex})$")
+            return sorted(t for t in cand if rx.match(t))[:max_terms]
+        df = self.postings(None).select("term")
+        if lead:
+            upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+            df = df.filter(
+                (F.col("term") >= lead) & (F.col("term") < upper)
+            )
+        rows = (
+            df.distinct()
+            .filter(F.col("term").rlike(f"^(?:{regex})$"))
+            .orderBy("term")
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def regexp_match_count(self, regex: str, max_terms: int = 50) -> int:
+        terms = self.expand_regexp(regex, max_terms)
+        return self.match_count(" ".join(terms), mode="or") if terms else 0
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        source: DataFrame,
+        k: int = 10,
+        max_query_terms: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """OpenSearch ``more_like_this``: the seed doc's top
+        ``max_query_terms`` terms by tf·idf (idf = ln(N/df), the same form
+        as ``tfidf_top_terms``; rounded to 6 so the SQL twin ranks
+        identically) form an OR query; the seed itself is excluded. The
+        seed's text comes from the source table (the index stores identity
+        + stats, never content) — a one-row driver fetch, then the
+        standard adaptive search."""
+        import math
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        row = (
+            source.filter(F.col(id_col) == doc_id).select(text_col).collect()
+        )
+        if not row or row[0][0] is None:
+            return empty
+        n_docs, _ = self._stats
+        tfs = Counter(tokenize_py(row[0][0]))
+        dfs = self.term_stats(sorted(tfs))
+        ranked = sorted(
+            (
+                (-round(tfs[t] * math.log(n_docs / dfs[t]), 6), t)
+                for t in tfs
+                if dfs.get(t, 0) > 0
+            ),
+        )[:max_query_terms]
+        terms = [t for _, t in ranked]
+        if not terms:
+            return empty
+        hits = self.search(" ".join(terms), k=k + 1, mode="or")
+        return (
+            hits.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def suggest(
+        self,
+        term: str,
+        max_edits: int = 2,
+        size: int = 3,
+    ) -> list[tuple[str, int, int]]:
+        """OpenSearch term suggester (``suggest_mode: always``): dictionary
+        terms within ``max_edits`` of the input (the input itself
+        excluded), ranked by (edit distance asc, df desc, term asc) —
+        distance-then-popularity, the suggester's default ordering.
+        Returns ``(term, distance, df)`` rows, coordinator-local like the
+        other dictionary ops."""
+        cands = [
+            t for t in self.expand_fuzzy(term, max_edits, max_terms=1000)
+            if t != term
+        ]
+        if not cands:
+            return []
+        dfs = self.term_stats(cands)
+        ranked = sorted(
+            (
+                (_levenshtein(t, term), -dfs.get(t, 0), t)
+                for t in cands
+                if dfs.get(t, 0) > 0
+            ),
+        )[:size]
+        return [(t, d, -negdf) for d, negdf, t in ranked]
+
     def prefix_search(
         self, prefix: str, k: int = 10, max_terms: int = 50
     ) -> DataFrame:

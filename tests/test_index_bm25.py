@@ -578,3 +578,76 @@ def test_search_filtered_scores_unchanged(spark, index_dir, corpus_pdf):
     for d, s in zip(got["doc_id"].tolist(), got["score"].tolist(),
                     strict=True):
         assert full[d] == s
+
+
+def test_more_like_this_seed_terms_and_exclusion(spark, index_dir,
+                                                 corpus_pdf):
+    """MLT: query terms are the seed doc's top tf·idf terms; the result is
+    the plain OR search over those terms minus the seed, same order."""
+    import math
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    src = spark.createDataFrame(corpus_pdf[["doc_id", "content"]])
+    seed = int(corpus_pdf["doc_id"].min())
+    text = corpus_pdf.set_index("doc_id").loc[seed, "content"]
+
+    from collections import Counter
+    tfs = Counter(tokenize_py(text))
+    n = len(corpus_pdf)
+    toks_all = [set(tokenize_py(t)) for t in corpus_pdf["content"]]
+    dfs = {t: sum(t in s for s in toks_all) for t in tfs}
+    ranked = sorted(
+        ((-round(tfs[t] * math.log(n / dfs[t]), 6), t)
+         for t in tfs if dfs[t] > 0)
+    )[:3]
+    want_terms = [t for _, t in ranked]
+
+    got = reader.more_like_this(seed, src, k=10, id_col="doc_id",
+                                text_col="content").toPandas()
+    assert seed not in set(got["doc_id"])
+    plain = reader.search(" ".join(want_terms), k=11).toPandas()
+    plain = plain[plain["doc_id"] != seed].head(10)
+    assert got["doc_id"].tolist() == plain["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  plain["score"].to_numpy())
+
+
+def test_suggest_ranking(spark, index_dir, corpus_pdf):
+    """Suggester: distance asc, df desc, term asc; input term excluded;
+    every suggestion within max_edits."""
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+    from kafka_connect_opensearch_spark.operators.bm25 import _levenshtein
+
+    reader = IndexReader(spark, index_dir)
+    got = reader.suggest("retorn", max_edits=2, size=3)
+    assert got, "fixture vocab has neighbors of 'retorn' (return)"
+    assert got[0][0] == "return"          # distance 1, highest df
+    docsets = [set(tokenize_py(t)) for t in corpus_pdf["content"]]
+    for term, dist, df in got:
+        assert term != "retorn"
+        assert _levenshtein(term, "retorn") == dist <= 2
+        assert df == sum(term in s for s in docsets)
+    keys = [(d, -df, t) for t, d, df in got]
+    assert keys == sorted(keys)
+
+
+def test_expand_regexp_anchored_and_seeded(spark, index_dir, corpus_pdf):
+    """Regexp rewrite: full-match semantics; alternation disables the
+    prefix seed (a branch can bypass it); plain prefixes still seed."""
+    import re
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    vocab = sorted({t for c in corpus_pdf["content"]
+                    for t in tokenize_py(c)})
+    for pattern in ("ident_[0-9]", "ret.*|imp.*", "id.nt_1+"):
+        want = [t for t in vocab
+                if re.fullmatch(f"(?:{pattern})", t)][:50]
+        assert reader.expand_regexp(pattern) == want, pattern
+    n = reader.regexp_match_count("ret.*")
+    want_terms = [t for t in vocab if re.fullmatch("ret.*", t)][:50]
+    docsets = [set(tokenize_py(t)) for t in corpus_pdf["content"]]
+    assert n == sum(bool(s & set(want_terms)) for s in docsets)
