@@ -449,6 +449,41 @@ def q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch rescore: top-50 BM25 window re-ranked with a phrase
+    secondary query (final = bm25 + phrase_bm25)."""
+    return _get_positions(spark, sf_dir).rescore_phrase(
+        BM25_QUERY, PHRASE, window=50, k=10
+    )
+
+
+def q_extended_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch extended_stats: count/sum/min/max/avg/variance/std of
+    n_chars per lang. Variance is computed from EXACT integer sums
+    (sum, sum of squares are BIGINT-exact in any engine), so the float
+    arithmetic is one identical expression on both sides — no dependence
+    on distributed accumulation order."""
+    docs = _read(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sum"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.sum(x * x).alias("_sum2"),
+    )
+    nn = F.col("n").cast("double")
+    s = F.col("sum").cast("double")
+    s2 = F.col("_sum2").cast("double")
+    var = (s2 - s * s / nn) / (nn - F.lit(1.0))
+    return agg.select(
+        "lang", "n", "sum", "min", "max",
+        F.round(s / nn, 4).alias("avg"),
+        F.round(var, 4).alias("variance"),
+        F.round(F.sqrt(var), 4).alias("std"),
+    ).orderBy("lang")
+
+
 def q_terms_agg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch terms aggregation with a sub-aggregation: source buckets
     (top 10 by count, deterministic tie-break) with avg(n_chars)."""
@@ -1101,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_topk": q_boosted_topk,
         "span_first_match": q_span_first_match,
         "mlt_topk": q_mlt_topk,
+        "rescore_topk": q_rescore_topk,
+        "extended_stats_lang": q_extended_stats_lang,
         "regexp_match_count": q_regexp_match_count,
         "suggest_term": q_suggest_term,
         "terms_agg_source": q_terms_agg_source,
@@ -1537,6 +1574,54 @@ scores AS (""",
 SELECT doc_id, round(raw, 4) AS score
 FROM (SELECT * FROM scores WHERE doc_id != (SELECT sid FROM seed)
       ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+""",
+        "rescore_topk": _bm25_scores_cte(
+            dict.fromkeys(BM25_QUERY.split(), 1.0)
+        ) + f""",
+p AS (
+  SELECT doc_id, t AS term, pos FROM (
+    SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos
+    FROM docs
+  ) WHERE t IN ('{PHRASE.split()[0]}', '{PHRASE.split()[1]}')
+),
+occ AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS tf
+  FROM p a JOIN p b2 USING (doc_id)
+  WHERE a.term = '{PHRASE.split()[0]}' AND b2.term = '{PHRASE.split()[1]}'
+    AND b2.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM occ),
+ph AS (
+  SELECT o.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * o.tf * ({K1} + 1.0)
+         / (o.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS pscore
+  FROM occ o
+  JOIN (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs) dl USING (doc_id)
+  CROSS JOIN dstats s CROSS JOIN dfv d
+),
+win AS (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 50)
+SELECT doc_id, round(final, 4) AS score FROM (
+  SELECT w.doc_id, w.raw + coalesce(ph.pscore, 0.0) AS final
+  FROM win w LEFT JOIN ph USING (doc_id)
+  ORDER BY final DESC, doc_id ASC LIMIT 10
+) t
+""",
+        "extended_stats_lang": """
+WITH a AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum,
+         min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+         sum(n_chars * n_chars)::BIGINT AS sum2
+  FROM documents GROUP BY lang
+)
+SELECT lang, n, sum, min, max,
+       round(sum::DOUBLE / n::DOUBLE, 4) AS avg,
+       round((sum2::DOUBLE - sum::DOUBLE * sum::DOUBLE / n::DOUBLE)
+             / (n::DOUBLE - 1.0), 4) AS variance,
+       round(sqrt((sum2::DOUBLE - sum::DOUBLE * sum::DOUBLE / n::DOUBLE)
+                  / (n::DOUBLE - 1.0)), 4) AS std
+FROM a ORDER BY lang
 """,
         "regexp_match_count": f"""
 WITH expansion AS (

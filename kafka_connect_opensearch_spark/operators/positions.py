@@ -1106,6 +1106,73 @@ class PositionsReader:
             return empty
         return self.spark.createDataFrame(topk, "doc_id long, score double")
 
+    def rescore_phrase(
+        self,
+        query: str,
+        phrase: str,
+        window: int = 50,
+        k: int = 10,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """OpenSearch ``rescore``: re-rank the base query's top ``window``
+        hits with a phrase secondary query — final = query_weight·bm25 +
+        rescore_weight·phrase_bm25 (0 for window docs without the phrase).
+        The base ranking runs the native top-k path; the phrase side is
+        the same keyed-positions scoring as :meth:`phrase_topk`, so both
+        components are bit-identical to their standalone queries and the
+        sum is bit-reproducible in the SQL twin."""
+        from kafka_connect_opensearch_spark.operators.bm25 import (
+            IndexReader,
+            bm25_idf,
+            bm25_tf_weight,
+        )
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        reader = IndexReader(self.spark, self.store.index_dir)
+        base = reader.search_topk(query, k=window)
+        if not base:
+            return empty
+        n_docs, avgdl = self._stats
+        terms = tokenize_py(phrase)
+        uniq = sorted(set(terms))
+        entries = self.term_entries(uniq)
+        ph: dict[int, float] = {}
+        if terms and all(t in entries for t in uniq):
+            keyed, lookup, m = self._decode_local(uniq, entries,
+                                                  required_all=uniq)
+            occ = _phrase_occ_keyed(keyed, lookup, m, terms)
+            docs_arr = np.asarray(occ["doc_id"], dtype=np.int64)
+            if docs_arr.size:
+                tf_arr = np.asarray(occ["tf"], dtype=np.float64)
+                order = np.argsort(docs_arr)
+                docs_arr, tf_arr = docs_arr[order], tf_arr[order]
+                idf = bm25_idf(n_docs, docs_arr.size)
+                rare = min(uniq, key=lambda t: entries[t])
+                dl_ids, dl_vals = self._dl_from_postings(reader, rare)
+                dl_arr = dl_vals[
+                    np.searchsorted(dl_ids, docs_arr)
+                ].astype(np.float64)
+                w = idf * bm25_tf_weight(tf_arr, dl_arr, avgdl,
+                                         self.k1, self.b)
+                ph = dict(zip(docs_arr.tolist(), w.tolist(), strict=True))
+        scored = sorted(
+            (
+                (-(query_weight * s + rescore_weight * ph.get(d, 0.0)), d)
+                for d, s in base
+            ),
+        )[:k]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.array([d for _, d in scored], dtype="int64"),
+                "score": np.round(
+                    np.array([-f for f, _ in scored]), round_to
+                ),
+            }
+        )
+        return self.spark.createDataFrame(pdf, "doc_id long, score double")
+
     def _dl_from_postings(
         self, reader, term: str
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -321,3 +321,41 @@ def test_span_first_docs(spark, tmp_path):
     assert _ids(pr.span_first_docs("beta", 2, local_threshold=0)) == [
         1, 2, 3, 4
     ]
+
+
+def test_rescore_phrase_window_semantics(spark, tmp_path):
+    """rescore: final = base_bm25 + phrase_bm25 for window docs; docs with
+    the phrase but outside the base window never enter; phrase-less
+    queries reduce to the (possibly reweighted) base ranking."""
+    import numpy as np
+
+    from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
+
+    d, _ = _build(spark, tmp_path)
+    pr = PositionsReader(spark, d)
+    reader = IndexReader(spark, d)
+
+    # window = 2: only the top-2 'gamma' hits are rescorable
+    base = reader.search_topk("gamma", k=2)
+    ph = {r["doc_id"]: r["score"]
+          for r in pr.phrase_topk("alpha beta", k=100).collect()}
+    got = pr.rescore_phrase("gamma", "alpha beta", window=2, k=2).collect()
+    want = sorted(
+        ((-(s + ph.get(dd, 0.0)), dd) for dd, s in base),
+    )[:2]
+    assert [r["doc_id"] for r in got] == [dd for _, dd in want]
+    np.testing.assert_allclose(
+        [r["score"] for r in got],
+        [round(-f, 4) for f, _ in want], rtol=0, atol=1e-9,
+    )
+    window_ids = {dd for dd, _ in base}
+    assert all(r["doc_id"] in window_ids for r in got)
+
+    # no-phrase-match rescore == base ranking (score unchanged, rounded)
+    got2 = pr.rescore_phrase("gamma", "omega omega", window=5, k=5).collect()
+    base5 = reader.search_topk("gamma", k=5)
+    assert [r["doc_id"] for r in got2] == [dd for dd, _ in base5]
+    np.testing.assert_allclose(
+        [r["score"] for r in got2],
+        [round(s, 4) for _, s in base5], rtol=0, atol=1e-9,
+    )
