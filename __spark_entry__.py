@@ -484,6 +484,46 @@ def q_extended_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_composite_agg_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch composite aggregation: (lang, source) buckets in key
+    order, size=5, page 2 reached via the after-cursor — the engine
+    filters strictly-after the cursor key (no offset scan), exactly the
+    composite `after` contract."""
+    docs = _read(spark, sf_dir, "documents")
+    buckets = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    page1 = buckets.orderBy("lang", "source").limit(5).collect()
+    if len(page1) < 5:
+        return spark.createDataFrame(
+            [], "lang string, source string, n long"
+        )
+    al, asrc = page1[-1]["lang"], page1[-1]["source"]
+    after = (F.col("lang") > al) | (
+        (F.col("lang") == al) & (F.col("source") > asrc)
+    )
+    return buckets.filter(after).orderBy("lang", "source").limit(5)
+
+
+def q_date_histogram_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch date_histogram (calendar day) with sub-aggregations:
+    per-day per-type count and value sum."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")),
+                          "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def q_terms_agg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch terms aggregation with a sub-aggregation: source buckets
     (top 10 by count, deterministic tie-break) with avg(n_chars)."""
@@ -1141,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_match_count": q_regexp_match_count,
         "suggest_term": q_suggest_term,
         "terms_agg_source": q_terms_agg_source,
+        "composite_agg_page2": q_composite_agg_page2,
+        "date_histogram_day": q_date_histogram_day,
         "cardinality_by_type": q_cardinality_by_type,
         "percentiles_by_type": q_percentiles_by_type,
         "doc_count": q_doc_count,
@@ -1658,6 +1700,18 @@ SELECT source, n, avg_chars FROM (
   FROM documents GROUP BY source
   ORDER BY n DESC, source ASC LIMIT 10
 ) t
+""",
+        "composite_agg_page2": """
+SELECT lang, source, n FROM (
+  SELECT lang, source, count(*)::BIGINT AS n
+  FROM documents GROUP BY lang, source
+  ORDER BY lang, source LIMIT 5 OFFSET 5
+) t
+""",
+        "date_histogram_day": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """,
         "cardinality_by_type": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
