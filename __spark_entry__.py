@@ -484,6 +484,28 @@ def q_extended_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+DISMAX_Q1, DISMAX_Q2, DISMAX_TIE = "hash table", "window merge", 0.3
+FSCORE_FACTOR = 0.001
+
+
+def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max over two sub-queries: best score + 0.3·the other."""
+    reader = _get_index(spark, sf_dir)
+    res = reader.search_dis_max([DISMAX_Q1, DISMAX_Q2], k=10,
+                                tie_breaker=DISMAX_TIE)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score field_value_factor: bm25 · ln(1 + 0.001·n_chars)."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    res = reader.function_score_field(
+        BM25_QUERY, docs, "n_chars", factor=FSCORE_FACTOR, k=10
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_composite_agg_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch composite aggregation: (lang, source) buckets in key
     order, size=5, page 2 reached via the after-cursor — the engine
@@ -1182,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_term": q_suggest_term,
         "terms_agg_source": q_terms_agg_source,
         "composite_agg_page2": q_composite_agg_page2,
+        "dis_max_topk": q_dis_max_topk,
+        "function_score_topk": q_function_score_topk,
         "date_histogram_day": q_date_histogram_day,
         "cardinality_by_type": q_cardinality_by_type,
         "percentiles_by_type": q_percentiles_by_type,
@@ -1256,6 +1280,49 @@ scores AS (
   GROUP BY tf.doc_id
   {having}
 )"""
+
+
+def _dis_max_sql() -> str:
+    """Two sub-query score CTEs over the shared tf/df base; final =
+    max + tie·(sum − max) (order-exact for two values)."""
+    base = _bm25_scores_cte(dict.fromkeys(DISMAX_Q1.split(), 1.0)).replace(
+        "scores AS (", "s1 AS ("
+    )
+    v2 = ", ".join(
+        f"('{t}', 1.0)" for t in sorted(set(DISMAX_Q2.split()))
+    )
+    return base + f""",
+s2 AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN (VALUES {v2}) q(term, qtf) ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  CROSS JOIN dstats s
+  GROUP BY tf.doc_id
+),
+u AS (SELECT doc_id, raw FROM s1 UNION ALL SELECT doc_id, raw FROM s2),
+agg AS (SELECT doc_id, max(raw) AS mx, sum(raw) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id, round(final, 4) AS score FROM (
+  SELECT doc_id, mx + {DISMAX_TIE} * (sm - mx) AS final FROM agg
+  ORDER BY final DESC, doc_id ASC LIMIT 10
+) t
+"""
+
+
+def _function_score_sql() -> str:
+    return _bm25_scores_cte(
+        dict.fromkeys(BM25_QUERY.split(), 1.0)
+    ) + f"""
+SELECT doc_id, round(final, 4) AS score FROM (
+  SELECT s.doc_id,
+         s.raw * ln(1.0 + {FSCORE_FACTOR} * d.n_chars::DOUBLE) AS final
+  FROM scores s JOIN documents d USING (doc_id)
+  ORDER BY final DESC, doc_id ASC LIMIT 10
+) t
+"""
 
 
 def _bm25_sql(mode: str) -> str:
@@ -1701,6 +1768,8 @@ SELECT source, n, avg_chars FROM (
   ORDER BY n DESC, source ASC LIMIT 10
 ) t
 """,
+        "dis_max_topk": _dis_max_sql(),
+        "function_score_topk": _function_score_sql(),
         "composite_agg_page2": """
 SELECT lang, source, n FROM (
   SELECT lang, source, count(*)::BIGINT AS n

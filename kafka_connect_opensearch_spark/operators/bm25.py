@@ -395,6 +395,67 @@ class IndexReader:
         )
         return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_dis_max(
+        self,
+        queries: list[str],
+        k: int = 10,
+        tie_breaker: float = 0.0,
+        mode: str = "or",
+    ) -> DataFrame:
+        """OpenSearch ``dis_max``: per-doc score = best sub-query score +
+        ``tie_breaker`` · (sum of the others). Each sub-query is exactly
+        scored over its own match set (``score_matches``), the union is
+        one keyed aggregation. With two sub-queries the tie-sum is
+        order-exact (IEEE addition of two values is commutative); beyond
+        two, cross-engine parity of the tie term is within 1 ulp — the
+        contract query uses two."""
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        frames = [self.score_matches(q, mode) for q in queries if q.strip()]
+        if not frames:
+            return empty
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        final = F.col("mx") + F.lit(float(tie_breaker)) * (
+            F.col("sm") - F.col("mx")
+        )
+        return (
+            u.groupBy("doc_id")
+            .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
+            .select("doc_id", final.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def function_score_field(
+        self,
+        query: str,
+        source: DataFrame,
+        field: str,
+        factor: float = 1.0,
+        k: int = 10,
+        mode: str = "or",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """OpenSearch ``function_score`` with a ``field_value_factor``
+        (modifier ``log1p``-style, written as ln(1 + factor·field) so the
+        SQL twin is the same expression): final = bm25 · ln(1+factor·v).
+        The field comes from the source table via a keyed join — the
+        index stores identity + stats, never a second copy of content."""
+        scored = self.score_matches(query, mode)
+        vals = source.select(
+            F.col(id_col).alias("doc_id"), F.col(field).alias("_v")
+        )
+        final = F.col("score") * F.log(
+            F.lit(1.0) + F.lit(float(factor)) * F.col("_v").cast("double")
+        )
+        return (
+            scored.join(vals, "doc_id")
+            .select("doc_id", final.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def expand_prefix(self, prefix: str, max_terms: int = 50) -> list[str]:
         """Prefix-query rewrite (OpenSearch ``prefix`` /
         ``match_phrase_prefix``): dictionary terms starting with

@@ -651,3 +651,53 @@ def test_expand_regexp_anchored_and_seeded(spark, index_dir, corpus_pdf):
     want_terms = [t for t in vocab if re.fullmatch("ret.*", t)][:50]
     docsets = [set(tokenize_py(t)) for t in corpus_pdf["content"]]
     assert n == sum(bool(s & set(want_terms)) for s in docsets)
+
+
+def test_dis_max_combination(spark, index_dir):
+    """dis_max: tie_breaker=0 is the pure per-doc max of the sub-query
+    scores; tie>0 adds tie·(sum−max). Verified against the sub-queries'
+    own score_matches output."""
+    reader = IndexReader(spark, index_dir)
+    q1, q2 = "return ident_1", "import ident_2"
+    s1 = {r["doc_id"]: r["score"]
+          for r in reader.score_matches(q1).collect()}
+    s2 = {r["doc_id"]: r["score"]
+          for r in reader.score_matches(q2).collect()}
+    union = set(s1) | set(s2)
+
+    for tie in (0.0, 0.3):
+        want = {}
+        for d in union:
+            vals = [v for v in (s1.get(d), s2.get(d)) if v is not None]
+            mx, sm = max(vals), sum(vals)
+            want[d] = mx + tie * (sm - mx)
+        top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:10]
+        got = reader.search_dis_max([q1, q2], k=10,
+                                    tie_breaker=tie).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == top, tie
+
+
+def test_function_score_field_value_factor(spark, index_dir, corpus_pdf):
+    """function_score: final = bm25 · ln(1 + factor·field), top-k
+    re-ranked accordingly."""
+    import math
+
+    reader = IndexReader(spark, index_dir)
+    src = spark.createDataFrame(
+        corpus_pdf[["doc_id", "content"]].assign(
+            n_chars=corpus_pdf["content"].str.len()
+        )[["doc_id", "n_chars"]]
+    )
+    base = {r["doc_id"]: r["score"]
+            for r in reader.score_matches("return import").collect()}
+    chars = dict(zip(corpus_pdf["doc_id"], corpus_pdf["content"].str.len(),
+                     strict=True))
+    want = sorted(
+        ((d, s * math.log(1.0 + 0.001 * chars[d])) for d, s in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = reader.function_score_field("return import", src, "n_chars",
+                                      factor=0.001, k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    np.testing.assert_allclose([r["score"] for r in got],
+                               [s for _, s in want], rtol=1e-12)
