@@ -506,6 +506,67 @@ def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+RANGE_EDGES = (500, 2000)   # n_chars buckets: [0,500), [500,2000), [2000,∞)
+HIST_INTERVAL = 50.0        # events.value histogram interval
+
+
+def q_explain_topdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_explain: per-term BM25 breakdown for the top-1 doc of the
+    flagship query — term contributions sum to the doc's score."""
+    reader = _get_index(spark, sf_dir)
+    top = reader.search_topk(BM25_QUERY, k=1)
+    if not top:
+        return spark.createDataFrame(
+            [], "term string, tf long, dl long, df long, "
+                "idf double, weight double")
+    return reader.explain(BM25_QUERY, top[0][0]).orderBy("term")
+
+
+def q_range_agg_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch range aggregation over n_chars: three fixed buckets."""
+    lo, hi = RANGE_EDGES
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < lo, F.lit(f"*-{lo}"))
+        .when(F.col("n_chars") < hi, F.lit(f"{lo}-{hi}"))
+        .otherwise(F.lit(f"{hi}-*"))
+    )
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("bucket")
+    )
+
+
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch histogram aggregation: fixed-interval buckets of
+    events.value (floor(v/interval)·interval keys)."""
+    ev = _read(spark, sf_dir, "events")
+    key = (F.floor(F.col("value") / HIST_INTERVAL) * HIST_INTERVAL).cast(
+        "double"
+    )
+    return (
+        ev.groupBy(key.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_stats/_cat-segments analog: manifest-level stats. No SQL oracle —
+    segment internals aren't derivable from the source tables (rows-only
+    driver check); pytest pins the fields against the build metrics."""
+    reader = _get_index(spark, sf_dir)
+    st = reader.index_stats()
+    return spark.createDataFrame(
+        [(st["segments"], st["docs"], st["sum_terms"], st["postings"],
+          float(round(st["avgdl"], 6)), st["max_generation"])],
+        "segments long, docs long, sum_terms long, postings long, "
+        "avgdl double, max_generation long",
+    )
+
+
 def q_composite_agg_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch composite aggregation: (lang, source) buckets in key
     order, size=5, page 2 reached via the after-cursor — the engine
@@ -1206,6 +1267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg_page2": q_composite_agg_page2,
         "dis_max_topk": q_dis_max_topk,
         "function_score_topk": q_function_score_topk,
+        "explain_topdoc": q_explain_topdoc,
+        "range_agg_chars": q_range_agg_chars,
+        "histogram_value": q_histogram_value,
+        "index_stats": q_index_stats,
         "date_histogram_day": q_date_histogram_day,
         "cardinality_by_type": q_cardinality_by_type,
         "percentiles_by_type": q_percentiles_by_type,
@@ -1770,6 +1835,39 @@ SELECT source, n, avg_chars FROM (
 """,
         "dis_max_topk": _dis_max_sql(),
         "function_score_topk": _function_score_sql(),
+        "explain_topdoc": _bm25_scores_cte(
+            dict.fromkeys(BM25_QUERY.split(), 1.0)
+        ) + f""",
+target AS (SELECT doc_id FROM scores
+           ORDER BY raw DESC, doc_id ASC LIMIT 1)
+SELECT tf.term, tf.tf::BIGINT AS tf, tf.dl::BIGINT AS dl,
+       df.df::BIGINT AS df,
+       round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+       round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl)),
+             6) AS weight
+FROM tf JOIN df USING (term) CROSS JOIN dstats s
+WHERE tf.doc_id = (SELECT doc_id FROM target)
+  AND tf.term IN ({", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.split())))})
+ORDER BY term
+""",
+        "range_agg_chars": f"""
+SELECT bucket, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
+FROM (
+  SELECT CASE WHEN n_chars < {RANGE_EDGES[0]} THEN '*-{RANGE_EDGES[0]}'
+              WHEN n_chars < {RANGE_EDGES[1]}
+                THEN '{RANGE_EDGES[0]}-{RANGE_EDGES[1]}'
+              ELSE '{RANGE_EDGES[1]}-*' END AS bucket,
+         n_chars
+  FROM documents
+) GROUP BY bucket ORDER BY bucket
+""",
+        "histogram_value": f"""
+SELECT (floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS bucket,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY bucket
+""",
         "composite_agg_page2": """
 SELECT lang, source, n FROM (
   SELECT lang, source, count(*)::BIGINT AS n

@@ -456,6 +456,79 @@ class IndexReader:
             .limit(k)
         )
 
+    def explain(
+        self, query: str, doc_id: int, round_to: int = 6
+    ) -> DataFrame:
+        """OpenSearch ``_explain``: the per-term BM25 score breakdown for
+        ONE document — (term, tf, dl, df, idf, weight) where weight is the
+        term's exact contribution (idf · tf-saturation); the weights sum
+        to the doc's search score. A coordinator metadata op: one pushed
+        postings read of the query terms, searchsorted to the target doc."""
+        import pyarrow.dataset as pads
+
+        schema = ("term string, tf long, dl long, df long, "
+                  "idf double, weight double")
+        empty = self.spark.createDataFrame([], schema)
+        qterms = sorted(set(tokenize_py(query)))
+        n_docs, avgdl = self._stats
+        if not qterms or n_docs == 0:
+            return empty
+        dfs = self.term_stats(qterms)
+        present = [t for t in qterms if t in dfs]
+        if not present:
+            return empty
+        found: dict[str, tuple[int, int]] = {}
+        for dset, names in self._postings_datasets():
+            flt = pads.field("term").isin(present)
+            if names is not None:
+                flt = flt & pads.field("seg").isin(names)
+            tbl = dset.to_table(
+                columns=["term", "doc_ids", "tfs", "dls"], filter=flt
+            )
+            for i in range(tbl.num_rows):
+                t = tbl["term"][i].as_py()
+                ids, tfs = codec.decode_postings(
+                    tbl["doc_ids"][i].as_py(), tbl["tfs"][i].as_py()
+                )
+                j = int(np.searchsorted(ids, doc_id))
+                if j < ids.size and ids[j] == doc_id:
+                    dls = codec.varint_decode(
+                        tbl["dls"][i].as_py()
+                    ).astype("int64")
+                    found[t] = (int(tfs[j]), int(dls[j]))
+        if not found:
+            return empty
+        rows = []
+        for t in sorted(found):
+            tf, dl = found[t]
+            idf = bm25_idf(n_docs, dfs[t])
+            w = idf * (
+                tf * (self.k1 + 1.0)
+                / (tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl))
+            )
+            rows.append((t, tf, dl, dfs[t],
+                         round(idf, round_to), round(w, round_to)))
+        pdf = pd.DataFrame(
+            rows, columns=["term", "tf", "dl", "df", "idf", "weight"]
+        )
+        return self.spark.createDataFrame(pdf, schema)
+
+    def index_stats(self) -> dict:
+        """OpenSearch ``_stats``/``_cat/segments`` analog: manifest-level
+        index statistics (no data scan)."""
+        segs = self._segments
+        n, avgdl = self._stats
+        return {
+            "segments": len(segs),
+            "docs": n,
+            "sum_terms": sum(s.n_terms for s in segs),
+            "postings": sum(s.n_postings for s in segs),
+            "avgdl": avgdl,
+            "max_generation": max(
+                (s.generation for s in segs), default=0
+            ),
+        }
+
     def expand_prefix(self, prefix: str, max_terms: int = 50) -> list[str]:
         """Prefix-query rewrite (OpenSearch ``prefix`` /
         ``match_phrase_prefix``): dictionary terms starting with

@@ -701,3 +701,39 @@ def test_function_score_field_value_factor(spark, index_dir, corpus_pdf):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     np.testing.assert_allclose([r["score"] for r in got],
                                [s for _, s in want], rtol=1e-12)
+
+
+def test_explain_weights_sum_to_score(spark, index_dir, corpus_pdf):
+    """_explain: per-term components use the same formula as scoring, and
+    the weights sum to the doc's search score (within the round-6 print
+    precision); tf/df/dl match the brute-force corpus values."""
+    from collections import Counter
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    query = "return ident_1"
+    top = reader.search_topk(query, k=1)
+    doc, score = top[0]
+    rows = reader.explain(query, doc).collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - score) < 1e-5
+    text = corpus_pdf.set_index("doc_id").loc[doc, "content"]
+    toks = Counter(tokenize_py(text))
+    all_sets = [set(tokenize_py(t)) for t in corpus_pdf["content"]]
+    for r in rows:
+        assert r["tf"] == toks[r["term"]]
+        assert r["dl"] == sum(toks.values())
+        assert r["df"] == sum(r["term"] in s for s in all_sets)
+    # a doc that doesn't match → empty explain
+    missing = int(corpus_pdf["doc_id"].max()) + 12345
+    assert reader.explain(query, missing).count() == 0
+
+
+def test_index_stats_matches_manifest(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    st = reader.index_stats()
+    assert st["docs"] == N_DOCS
+    assert st["segments"] == 4
+    assert st["postings"] > 0 and st["sum_terms"] > 0
+    assert st["avgdl"] > 0
