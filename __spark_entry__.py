@@ -1221,9 +1221,10 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order: the r3 driver report capped at the first 50 keys, so the
-    # seven entries it missed lead the dict this round (least-recently
-    # driver-verified first); everything else keeps its r3 order.
+    # Order: the r3 driver report capped at the first 50 keys, so the dict
+    # leads with the least-recently-driver-verified entries — the seven r3
+    # missed first, then the r3 set, with every round-4 addition inside
+    # the first 50; the tail queries all have r3 driver rows.
     return {
         "window_topn": q_window_topn,
         "events_hourly": q_events_hourly,
