@@ -567,6 +567,22 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup, batch-mode twin (streaming/dedup.py): the
+    corpus unioned with itself dedupes back to one row per content
+    digest — (rows in, rows out)."""
+    from kafka_connect_opensearch_spark.streaming.dedup import dedup_stream
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(docs).withColumn(
+        "ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    out = dedup_stream(doubled, "text", "ts")
+    return spark.createDataFrame(
+        [(doubled.count(), out.count())], "n_in long, n_out long"
+    )
+
+
 def q_composite_agg_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch composite aggregation: (lang, source) buckets in key
     order, size=5, page 2 reached via the after-cursor — the engine
@@ -1272,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg_chars": q_range_agg_chars,
         "histogram_value": q_histogram_value,
         "index_stats": q_index_stats,
+        "stream_dedup": q_stream_dedup,
         "date_histogram_day": q_date_histogram_day,
         "cardinality_by_type": q_cardinality_by_type,
         "percentiles_by_type": q_percentiles_by_type,
@@ -1868,6 +1885,11 @@ FROM (
 SELECT (floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS bucket,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1 ORDER BY bucket
+""",
+        "stream_dedup": """
+SELECT (2 * count(*))::BIGINT AS n_in,
+       count(DISTINCT sha256(text))::BIGINT AS n_out
+FROM documents
 """,
         "composite_agg_page2": """
 SELECT lang, source, n FROM (

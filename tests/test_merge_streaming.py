@@ -259,3 +259,38 @@ def test_streaming_ingest_with_positions(spark, tmp_path):
         if " return import " in f" {' '.join(tokenize_py(r.content))} "
     )
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_first_wins_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: the emitted stream holds one
+    record per content digest (within the watermark horizon), equal as a
+    digest SET to the batch exact dedup; duplicates with distinct ids are
+    collapsed."""
+    import datetime as dt
+
+    from kafka_connect_opensearch_spark.streaming.dedup import (
+        dedup_stream,
+        run_dedup_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        text = f"document body {i % 20}"          # 3 copies of 20 texts
+        rows.append((i, text, base + dt.timedelta(seconds=i)))
+    schema = "doc_id long, text string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+
+    q = run_dedup_stream(
+        spark, src, schema, str(tmp_path / "ckpt"), str(tmp_path / "out"),
+        watermark_delay="1 hour",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = dedup_stream(df, "text", "ts")
+    got_digests = sorted(r["digest"] for r in got.collect())
+    want_digests = sorted(r["digest"] for r in batch.collect())
+    assert len(got_digests) == 20          # one survivor per distinct text
+    assert got_digests == want_digests     # stream ≡ batch as digest sets

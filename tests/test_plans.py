@@ -211,3 +211,40 @@ def test_significant_terms_bg_read_is_term_scoped(spark, tmp_path, monkeypatch):
     # and the result is still correct vs a quick self-check
     out = q.toPandas()
     assert len(out) > 0 and (out["bg_df"] >= out["fg_df"]).all()
+
+
+def test_round4_query_plans_are_scale_shaped(spark, tmp_path):
+    """Round-4 surface plan pins: no cartesian products / nested-loop
+    joins anywhere; search_filtered's semi join and function_score's
+    field join stay keyed; dis_max's union aggregates with a partial
+    stage."""
+    from kafka_connect_opensearch_spark.config import EngineConfig
+    from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
+    from kafka_connect_opensearch_spark.operators.indexer import build_index_bulk
+    from kafka_connect_opensearch_spark.sources.corpus import generate_corpus
+
+    d = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=2, salt_partitions=2, shuffle_partitions=4)
+    build_index_bulk(spark, generate_corpus(spark, 200), d, cfg)
+    reader = IndexReader(spark, d)
+    docs = reader.docs().select("doc_id")
+
+    qs = {
+        "filtered": reader.search_filtered("return import", docs, k=5),
+        "after": reader.search_after("return import", 1.0, 0, k=5),
+        "dismax": reader.search_dis_max(
+            ["return ident_1", "import ident_2"], k=5, tie_breaker=0.3
+        ),
+        "fscore": reader.function_score_field(
+            "return import",
+            reader.docs().select("doc_id", F.col("dl").alias("n_chars")),
+            "n_chars", factor=0.001, k=5,
+        ),
+    }
+    for name, q in qs.items():
+        plan = plans.executed_plan(q)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    dm = plans.executed_plan(qs["dismax"])
+    assert dm.count("HashAggregate") >= 2  # partial + final over the union
+    assert plans.has_take_ordered(qs["after"])
