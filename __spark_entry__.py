@@ -567,6 +567,18 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_T_Q = "lsow"  # one transposition from 'slow' (levenshtein would be 2)
+
+
+def q_fuzzy_transpositions_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch fuzzy with transpositions:true (the default): an
+    adjacent swap is ONE edit, so 'lsow' reaches 'slow' at max_edits=1
+    where plain levenshtein needs 2 — Damerau expansion → OR count."""
+    reader = _get_index(spark, sf_dir)
+    n = reader.fuzzy_match_count(FUZZY_T_Q, max_edits=1, transpositions=True)
+    return spark.createDataFrame([(n,)], "n long")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup, batch-mode twin (streaming/dedup.py): the
     corpus unioned with itself dedupes back to one row per content
@@ -1289,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_value": q_histogram_value,
         "index_stats": q_index_stats,
         "stream_dedup": q_stream_dedup,
+        "fuzzy_transpositions_count": q_fuzzy_transpositions_count,
         "date_histogram_day": q_date_histogram_day,
         "cardinality_by_type": q_cardinality_by_type,
         "percentiles_by_type": q_percentiles_by_type,
@@ -1885,6 +1898,23 @@ FROM (
 SELECT (floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS bucket,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1 ORDER BY bucket
+""",
+        "fuzzy_transpositions_count": f"""
+WITH expansion AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM (
+      SELECT unnest({_toks_sql('text')}) AS term FROM documents
+    )
+    WHERE abs(len(term) - {len(FUZZY_T_Q)}) <= 1
+      AND damerau_levenshtein(term, '{FUZZY_T_Q}') <= 1
+  ) ORDER BY term LIMIT 50
+)
+SELECT count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents
+  ) WHERE term IN (SELECT term FROM expansion)
+  GROUP BY doc_id
+)
 """,
         "stream_dedup": """
 SELECT (2 * count(*))::BIGINT AS n_in,

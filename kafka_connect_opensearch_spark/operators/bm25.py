@@ -557,10 +557,14 @@ class IndexReader:
         max_edits: int = 1,
         max_terms: int = 50,
         local_threshold: int = 1_000_000,
+        transpositions: bool = False,
     ) -> list[str]:
         """Fuzzy-query rewrite (OpenSearch ``fuzzy`` / ``match`` with
-        fuzziness): dictionary terms within levenshtein ``max_edits``,
-        first ``max_terms`` alphabetically.
+        fuzziness): dictionary terms within ``max_edits``, first
+        ``max_terms`` alphabetically. ``transpositions=True`` counts an
+        adjacent swap as ONE edit (unrestricted Damerau-Levenshtein —
+        OpenSearch's fuzzy default; DuckDB's ``damerau_levenshtein``
+        reproduces it exactly, verified on 4k random pairs).
 
         Lucene walks a Levenshtein automaton over its FST dictionary; here
         the dictionary is scanned with a length-window prefilter
@@ -568,7 +572,10 @@ class IndexReader:
         when Σ per-segment dictionary rows fits under ``local_threshold``
         the coordinator scans the term column via pyarrow; above it a
         distributed distinct over the postings' term column runs with the
-        JVM ``levenshtein`` — vocabulary-sized, never doc-sized."""
+        JVM ``levenshtein`` (or an Arrow-batched pandas UDF for the
+        transpositions metric, which Spark lacks) — vocabulary-sized,
+        never doc-sized."""
+        dist = _damerau_levenshtein if transpositions else _levenshtein
         lo, hi = len(term) - max_edits, len(term) + max_edits
         vocab_rows = sum(s.n_terms for s in self._segments)
         if vocab_rows <= local_threshold:
@@ -586,19 +593,28 @@ class IndexReader:
             out = sorted(
                 t
                 for t in cand
-                if lo <= len(t) <= hi and _levenshtein(term, t) <= max_edits
+                if lo <= len(t) <= hi and dist(term, t) <= max_edits
             )
             return out[:max_terms]
-        rows = (
+        vocab = (
             self.postings(None)
             .select("term")
             .filter(F.length("term").between(lo, hi))
             .distinct()
-            .filter(F.levenshtein(F.lit(term), F.col("term")) <= max_edits)
-            .orderBy("term")
-            .limit(max_terms)
-            .collect()
         )
+        if transpositions:
+            from pyspark.sql.pandas.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _dl(terms: pd.Series) -> pd.Series:
+                return terms.map(lambda t: _damerau_levenshtein(term, t))
+
+            vocab = vocab.filter(_dl(F.col("term")) <= max_edits)
+        else:
+            vocab = vocab.filter(
+                F.levenshtein(F.lit(term), F.col("term")) <= max_edits
+            )
+        rows = vocab.orderBy("term").limit(max_terms).collect()
         return [r["term"] for r in rows]
 
     def expand_wildcard(
@@ -828,11 +844,16 @@ class IndexReader:
         return self.search(" ".join(terms), k=k, mode="or")
 
     def fuzzy_match_count(
-        self, term: str, max_edits: int = 1, max_terms: int = 50
+        self,
+        term: str,
+        max_edits: int = 1,
+        max_terms: int = 50,
+        transpositions: bool = False,
     ) -> int:
         """Docs matching any term of the fuzzy expansion (D7 over the
-        rewrite)."""
-        terms = self.expand_fuzzy(term, max_edits, max_terms)
+        rewrite); ``transpositions`` selects the Damerau metric."""
+        terms = self.expand_fuzzy(term, max_edits, max_terms,
+                                  transpositions=transpositions)
         return self.match_count(" ".join(terms), mode="or") if terms else 0
 
     def phrase_match(
@@ -1186,6 +1207,47 @@ def _levenshtein(a: str, b: str) -> int:
             )
         prev = cur
     return prev[lb]
+
+
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner): insert, delete,
+    substitute, and transpose-adjacent each cost 1, with edits allowed
+    between transposed characters. Matches DuckDB's
+    ``damerau_levenshtein`` exactly (tests compare on random pairs) —
+    the metric behind OpenSearch fuzzy's ``transpositions: true``."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            lcol = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][lcol] + (i - k - 1) + 1 + (j - lcol - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
 
 
 def _decode_rows(pdf: pd.DataFrame) -> dict[str, tuple]:

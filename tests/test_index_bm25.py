@@ -737,3 +737,41 @@ def test_index_stats_matches_manifest(spark, index_dir):
     assert st["segments"] == 4
     assert st["postings"] > 0 and st["sum_terms"] > 0
     assert st["avgdl"] > 0
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """The transpositions metric must equal DuckDB's damerau_levenshtein
+    (the oracle's function) — unrestricted DL, not OSA: 'ca'→'abc' is 2."""
+    import random
+
+    import duckdb
+
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        _damerau_levenshtein,
+    )
+
+    con = duckdb.connect()
+    assert _damerau_levenshtein("ca", "abc") == 2   # the OSA-vs-DL case
+    assert _damerau_levenshtein("lsow", "slow") == 1
+    rng = random.Random(7)
+    for _ in range(500):
+        a = "".join(rng.choices("abcd", k=rng.randint(0, 7)))
+        b = "".join(rng.choices("abcd", k=rng.randint(0, 7)))
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_expand_fuzzy_transpositions_both_paths(spark, index_dir, corpus_pdf):
+    """transpositions=True (OpenSearch fuzzy default metric): an adjacent
+    swap is one edit — 'erturn' reaches 'return' at max_edits=1 only with
+    the Damerau metric; the coordinator and the distributed (pandas-UDF)
+    paths agree."""
+    reader = IndexReader(spark, index_dir)
+    assert "return" not in reader.expand_fuzzy("erturn", max_edits=1)
+    local = reader.expand_fuzzy("erturn", max_edits=1, transpositions=True)
+    assert "return" in local
+    dist = reader.expand_fuzzy("erturn", max_edits=1, transpositions=True,
+                               local_threshold=0)
+    assert dist == local
