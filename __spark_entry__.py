@@ -1275,8 +1275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_match_count": q_wildcard_match_count,
         "near_match": q_near_match,
         "phrase_bm25_topk": q_phrase_bm25,
-        "search_facets": q_search_facets,
-        "search_fetch": q_search_fetch,
         "search_highlight": q_search_highlight,
         "significant_terms": q_significant_terms,
         "near_match_ordered": q_near_match_ordered,
@@ -1334,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_conversion": q_payload_conversion,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "search_facets": q_search_facets,
+        "search_fetch": q_search_fetch,
     }
 
 
