@@ -474,6 +474,30 @@ def _keyed_from_parts(
     return out, lookup, M
 
 
+def _uniq_sorted(a: np.ndarray) -> np.ndarray:
+    """``np.unique`` for an already-sorted array — one O(n) pass instead
+    of a re-sort (keyed arrays are sorted by construction; on multi-
+    million-position stopword lists the sort was the measured tail)."""
+    if a.size <= 1:
+        return a
+    keep = np.empty(a.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(a[1:], a[:-1], out=keep[1:])
+    return a[keep]
+
+
+def _uniq_counts_sorted(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique values, run lengths) of a sorted array, one O(n) pass."""
+    if a.size == 0:
+        return a, np.empty(0, dtype=np.int64)
+    new = np.empty(a.size, dtype=bool)
+    new[0] = True
+    np.not_equal(a[1:], a[:-1], out=new[1:])
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, a.size))
+    return a[starts], counts
+
+
 def _isect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Values of sorted-unique ``a`` present in sorted-unique ``b``.
     One ``searchsorted`` (O(|a|·log|b|)) — ``np.intersect1d`` re-sorts the
@@ -511,7 +535,7 @@ def _phrase_occ_keyed(
         live = _isect_sorted(live + 1, keyed[t])
     if live.size == 0:
         return empty
-    slots, counts = np.unique(live // M, return_counts=True)
+    slots, counts = _uniq_counts_sorted(live // M)
     return pd.DataFrame(
         {"doc_id": lookup[slots].astype("int64"),
          "tf": counts.astype("int64")}
@@ -587,7 +611,7 @@ def _near_docs_keyed(
         hit = ((ka[1:] // M) == (ka[:-1] // M)) & (d <= slop)
         if not hit.any():
             return np.empty(0, dtype=np.int64)
-        return lookup[np.unique(ka[:-1][hit] // M)].astype(np.int64)
+        return lookup[_uniq_sorted(ka[:-1][hit] // M)].astype(np.int64)
     idx = np.searchsorted(kb, ka)
     hit = np.zeros(ka.size, dtype=bool)
     right = idx < kb.size
@@ -603,7 +627,7 @@ def _near_docs_keyed(
             hit[left] |= (nb // M == av // M) & (av - nb <= slop)
     if not hit.any():
         return np.empty(0, dtype=np.int64)
-    return lookup[np.unique(ka[hit] // M)].astype(np.int64)
+    return lookup[_uniq_sorted(ka[hit] // M)].astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -977,7 +1001,7 @@ class PositionsReader:
             hit = ks[(ks % m) < end]
             return pd.DataFrame(
                 {"doc_id": pd.Series(
-                    lookup[np.unique(hit // m)], dtype="int64"
+                    lookup[_uniq_sorted(hit // m)], dtype="int64"
                 )}
             )
 
