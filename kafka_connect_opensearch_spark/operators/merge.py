@@ -269,3 +269,54 @@ def merge_segments(
     )
     out.wall_secs = time.monotonic() - t0
     return out
+
+
+def reconcile_updates(
+    spark: SparkSession,
+    index_dir: str,
+    config: EngineConfig | None = None,
+    new_segment_names: list[str] | None = None,
+) -> BuildMetrics | None:
+    """Make cross-segment re-ingests visible latest-wins IMMEDIATELY.
+
+    Lucene marks a superseded document deleted the moment its update
+    commits (per-segment live-docs); until this runs, a doc re-ingested
+    into a NEW segment coexists with its older copy — doc_count
+    over-reports, searches return both rows, stale phrases still match.
+    The engine's equivalent is a targeted merge of exactly the segments
+    that share a doc_id: ``merge_segments`` already implements the
+    (generation, segment-name) winner rule, so reconciliation reuses the
+    fully-tested rewrite instead of a second shadowing mechanism.
+
+    ``new_segment_names`` narrows the overlap probe to docs of the
+    just-committed segments (the streaming per-batch shape — O(batch)
+    semi-join against the older doc ids, ids-only columnar scan); None
+    probes all active segments pairwise (one groupBy over doc ids).
+    Returns the merge metrics, or None when there was nothing to do.
+    No-overlap ingests pay only the probe; write amplification is bounded
+    by the tiered auto-merge policy that would have merged these segments
+    eventually anyway."""
+    store = SegmentStore(index_dir)
+    metas = store.active_segments()
+    if len(metas) < 2:
+        return None
+    tagged = store.read_docs(spark, metas, with_seg=True).select(
+        "doc_id", "seg"
+    )
+    if new_segment_names:
+        new_ids = tagged.filter(
+            F.col("seg").isin(list(new_segment_names))
+        ).select("doc_id")
+        tagged = tagged.join(new_ids.distinct(), "doc_id", "left_semi")
+    dup_segs = (
+        tagged.groupBy("doc_id")
+        .agg(F.collect_set("seg").alias("segs"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.explode("segs").alias("seg"))
+        .distinct()
+        .collect()
+    )
+    names = sorted({r["seg"] for r in dup_segs})
+    if not names:
+        return None
+    return merge_segments(spark, index_dir, config, segment_names=names)

@@ -114,6 +114,16 @@ def start_streaming_index_build(
         store.commit_batch(
             bid, {"batch": bid, "segments": [meta.__dict__], "replaces": []}
         )
+        # a micro-batch can re-ingest docs already committed by an earlier
+        # batch; reconcile makes latest-wins visible NOW (Lucene's
+        # update-marks-deleted contract) instead of at the next tiered
+        # merge — the probe is O(batch) and a no-op without overlap
+        from kafka_connect_opensearch_spark.operators.merge import (
+            reconcile_updates,
+        )
+
+        reconcile_updates(spark, store.index_dir, config,
+                          new_segment_names=[seg_name])
 
     stream = (
         spark.readStream.schema(source_schema)

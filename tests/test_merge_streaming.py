@@ -294,3 +294,94 @@ def test_streaming_dedup_first_wins_bounded_state(spark, tmp_path):
     want_digests = sorted(r["digest"] for r in batch.collect())
     assert len(got_digests) == 20          # one survivor per distinct text
     assert got_digests == want_digests     # stream ≡ batch as digest sets
+
+
+def test_reconcile_updates_makes_latest_wins_immediate(spark, tmp_path):
+    """A doc re-ingested into a newer-generation segment coexists with its
+    old copy until reconciliation (doc_count over-reports, search returns
+    both rows, stale phrases match) — reconcile_updates must restore
+    latest-wins without being told which docs changed."""
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        _build_one_segment,
+        build_index,
+        prepare_documents,
+    )
+    from kafka_connect_opensearch_spark.operators.merge import (
+        reconcile_updates,
+    )
+    from kafka_connect_opensearch_spark.operators.positions import (
+        PositionsReader,
+    )
+
+    d = str(tmp_path / "idx")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon alpha beta")],
+        "doc_id long, text string",
+    )
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2, index_positions=True)
+    build_index(spark, v1, d, cfg, content_col="text", doc_id_col="doc_id")
+    store = SegmentStore(d)
+    v2 = spark.createDataFrame([(1, "alpha omega omega")],
+                               "doc_id long, text string")
+    seg2 = _build_one_segment(
+        spark, prepare_documents(v2, content_col="text", doc_id_col="doc_id"),
+        store, "seg_g1_reingest", cfg, content_col="text",
+    )
+    seg2.generation = 1
+    store.write_segmeta(seg2)
+    store.commit_batch(
+        "reingest",
+        {"batch": "reingest", "segments": [seg2.__dict__], "replaces": []},
+    )
+    reader = IndexReader(spark, d)
+    assert reader.doc_count() == 3          # the documented stale window
+
+    m = reconcile_updates(spark, d, cfg)
+    assert m is not None and m.segments_merged == 2
+    reader.refresh()
+    assert reader.doc_count() == 2
+    hits = reader.search("alpha", k=10).collect()
+    assert sorted(r["doc_id"] for r in hits) == [1, 2]   # no duplicates
+    pr = PositionsReader(spark, d)
+    assert sorted(pr.phrase_match_ids("alpha beta")) == [2]   # stale gone
+    assert sorted(pr.phrase_match_ids("alpha omega")) == [1]  # new visible
+    # idempotent: nothing left to reconcile
+    assert reconcile_updates(spark, d, cfg) is None
+
+
+def test_streaming_update_latest_wins_without_manual_merge(spark, tmp_path):
+    """A later micro-batch that re-ingests an earlier doc must win as soon
+    as the stream drains — the per-batch reconcile applies Lucene's
+    update-marks-deleted contract without any manual merge."""
+    from kafka_connect_opensearch_spark.streaming.ingest import (
+        start_streaming_index_build,
+    )
+
+    schema = "repo string, path string, commit string, content string"
+    src_dir = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [("r", "a.py", "c1", "alpha beta"), ("r", "b.py", "c1", "gamma")],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(src_dir, mode="append")
+    b2 = spark.createDataFrame(
+        [("r", "a.py", "c1", "omega delta")],  # update of (r, a.py, c1)
+        schema,
+    )
+    b2.coalesce(1).write.parquet(src_dir, mode="append")
+
+    idx = str(tmp_path / "sidx")
+    q = start_streaming_index_build(
+        spark, src_dir, schema, idx, str(tmp_path / "ckpt"),
+        EngineConfig(num_segments=1, salt_partitions=2),
+        id_cols=("repo", "path", "commit"), content_col="content",
+        max_files_per_trigger=1,   # one file per micro-batch → an update
+    )
+    q.awaitTermination(120)
+    reader = IndexReader(spark, idx)
+    assert reader.doc_count() == 2
+    assert reader.match_count("omega", "or") == 1
+    # the superseded content must be gone
+    assert reader.match_count("alpha", "or") + \
+        reader.match_count("beta", "or") == 0
