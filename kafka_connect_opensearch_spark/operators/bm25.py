@@ -277,15 +277,69 @@ class IndexReader:
         k: int = 10,
         mode: str = "or",
         id_col: str = "doc_id",
+        max_pushdown_ids: int = 2_000_000,
     ) -> DataFrame:
         """OpenSearch bool ``filter`` context: the structured filter
         restricts the hit set but NEVER contributes to the score (and never
         changes term statistics — scores are identical to the unfiltered
-        query, which is exactly Lucene's filter-context contract). Exact
-        scores for every match, left-semi joined against the filter's doc
-        ids, then the usual (score desc, doc_id) top-k."""
-        scored = self.score_matches(query, mode)
+        query, which is exactly Lucene's filter-context contract).
+
+        Execution is adaptive on the filter's selectivity (Lucene leads
+        with the filter iterator for the same reason): a filter of
+        ≤ ``max_pushdown_ids`` docs is collected and pushed into the
+        per-segment scorer as a candidate pre-filter, so only surviving
+        docs are ever scored — per-doc BM25 is independent of other docs,
+        so the scores are bit-identical either way. A wider filter falls
+        back to scoring the match set and left-semi joining (both sides
+        keyed, never collected)."""
         ids = filter_ids.select(F.col(id_col).alias("doc_id"))
+        n_filter = ids.count()
+        if n_filter == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        if n_filter <= max_pushdown_ids:
+            allowed = np.sort(
+                np.array(
+                    [r["doc_id"] for r in ids.distinct().collect()],
+                    dtype=np.int64,
+                )
+            )
+            qterms = sorted(Counter(tokenize_py(query)).items())
+            n_docs, avgdl = self._stats
+            empty = self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+            if not qterms or n_docs == 0:
+                return empty
+            dfs = self.term_stats([t for t, _ in qterms])
+            if mode == "and" and any(t not in dfs for t, _ in qterms):
+                return empty
+            qterms = [(t, q) for t, q in qterms if t in dfs]
+            if not qterms:
+                return empty
+            weights = {t: q * bm25_idf(n_docs, dfs[t]) for t, q in qterms}
+            scorer = _make_segment_scorer(
+                weights, avgdl, self.k1, self.b, k, mode, self.block_size,
+                restrict_ids=allowed,
+            )
+            if sum(dfs[t] for t, _ in qterms) <= 2_000_000:
+                rows = self._local_topk([t for t, _ in qterms], scorer, k)
+                if not rows:
+                    return empty
+                pdf = pd.DataFrame(
+                    rows, columns=["doc_id", "score"]
+                ).astype({"doc_id": "int64", "score": "float64"})
+                return self.spark.createDataFrame(
+                    pdf, "doc_id long, score double"
+                )
+            out = (
+                self.postings([t for t, _ in qterms])
+                .groupBy("seg")
+                .applyInPandas(scorer, schema="doc_id long, score double")
+            )
+            return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        scored = self.score_matches(query, mode)
         return (
             scored.join(ids, "doc_id", "left_semi")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1283,6 +1337,29 @@ def _exact_scores(
     return scores
 
 
+def _restrict_to_lists(
+    decoded: dict, allowed: np.ndarray, block_size: int
+) -> dict:
+    """Keep only docs in sorted ``allowed`` in every posting list,
+    recomputing per-block max-tf so MaxScore bounds stay valid — the
+    filter-context candidate pushdown (inverse of
+    :func:`_exclude_from_lists`)."""
+    out = {}
+    for t, (ids, tfs, dls, bmax) in decoded.items():
+        j = np.searchsorted(allowed, ids)
+        j[j == allowed.size] = allowed.size - 1
+        keep = allowed[j] == ids
+        if keep.all():
+            out[t] = (ids, tfs, dls, bmax)
+            continue
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if ids.size == 0:
+            continue
+        starts = np.arange(0, ids.size, block_size)
+        out[t] = (ids, tfs, dls, np.maximum.reduceat(tfs, starts))
+    return out
+
+
 def _make_segment_scorer(
     weights: dict[str, float],
     avgdl: float,
@@ -1291,6 +1368,7 @@ def _make_segment_scorer(
     k: int,
     mode: str,
     block_size: int,
+    restrict_ids: np.ndarray | None = None,
 ):
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
@@ -1299,6 +1377,11 @@ def _make_segment_scorer(
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         decoded = _decode_rows(pdf)
+        if restrict_ids is not None and decoded:
+            # filter context: drop non-surviving docs BEFORE candidate
+            # selection and scoring (per-doc BM25 is independent of other
+            # docs, so surviving scores are unchanged)
+            decoded = _restrict_to_lists(decoded, restrict_ids, block_size)
         if not decoded:
             return empty
         if mode == "and":

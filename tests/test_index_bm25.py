@@ -775,3 +775,23 @@ def test_expand_fuzzy_transpositions_both_paths(spark, index_dir, corpus_pdf):
     dist = reader.expand_fuzzy("erturn", max_edits=1, transpositions=True,
                                local_threshold=0)
     assert dist == local
+
+
+def test_search_filtered_pushdown_and_fallback_agree(spark, index_dir,
+                                                     corpus_pdf):
+    """The selective-filter pushdown path (restrict posting lists before
+    scoring) must return exactly the semi-join fallback's results — and
+    both must equal the unfiltered scores for surviving docs."""
+    reader = IndexReader(spark, index_dir)
+    allowed = corpus_pdf[corpus_pdf["doc_id"] % 2 == 0][["doc_id"]]
+    fdf = spark.createDataFrame(allowed)
+    push = reader.search_filtered("return import", fdf, k=10).toPandas()
+    semi = reader.search_filtered("return import", fdf, k=10,
+                                  max_pushdown_ids=0).toPandas()
+    assert push["doc_id"].tolist() == semi["doc_id"].tolist()
+    np.testing.assert_array_equal(push["score"].to_numpy(),
+                                  semi["score"].to_numpy())
+    assert (push["doc_id"] % 2 == 0).all() and len(push) > 0
+    # empty filter short-circuits
+    empty = spark.createDataFrame([], "doc_id long")
+    assert reader.search_filtered("return", empty, k=5).count() == 0
