@@ -368,6 +368,18 @@ SPAN_FIRST_TERM, SPAN_FIRST_END = "hash", 5
 FILTER_LANG = "en"
 
 
+def q_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL four-clause bool query: must + should + must_not + filter
+    (lang='en' filter context — hits restricted, scores untouched)."""
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    res = reader.search_bool(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT, k=10,
+        filter_ids=docs.filter(F.col("lang") == FILTER_LANG),
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch bool filter context: BM25 match scored over the whole
     corpus (filters never change term statistics), hits restricted to
@@ -1280,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_match_ordered": q_near_match_ordered,
         "fielded_match_count": q_fielded_match_count,
         "search_collapse": q_search_collapse,
+        "bool_filtered_topk": q_bool_filtered,
         "search_filtered": q_search_filtered,
         "search_after": q_search_after,
         "msm_topk": q_msm_topk,
@@ -1724,6 +1737,11 @@ ORDER BY doc_id
 """,
         "search_highlight": _search_highlight_sql(),
         "search_collapse": _search_collapse_sql(),
+        "bool_filtered_topk": _bm25_bool_sql().replace(
+            "SELECT * FROM scores\n  WHERE doc_id NOT IN",
+            "SELECT * FROM scores\n  WHERE doc_id IN (SELECT doc_id FROM "
+            f"documents WHERE lang = '{FILTER_LANG}')\n    AND doc_id NOT IN",
+        ),
         "search_filtered": _bm25_scores_cte(
             dict.fromkeys(BM25_QUERY.split(), 1.0)
         ) + f"""

@@ -226,14 +226,45 @@ class IndexReader:
         must_not: str = "",
         k: int = 10,
         local_threshold: int = 2_000_000,
+        filter_ids: DataFrame | None = None,
+        id_col: str = "doc_id",
+        max_pushdown_ids: int = 2_000_000,
     ) -> DataFrame:
         """OpenSearch bool-query semantics (the reference delegates these to
         ``_search``, OpenSearchHelperClient.java:106-109): a match must
         contain ALL ``must`` terms and NONE of ``must_not``; the score sums
         BM25 over ``must`` + ``should`` terms present. With no ``must``,
-        any ``should`` term matches. Deterministic (score desc, doc_id)
-        tie-break, same adaptive local/distributed execution as
-        :meth:`search`."""
+        any ``should`` term matches. ``filter_ids`` is the bool query's
+        fourth clause — filter context, restricting hits without touching
+        scores or term statistics: a selective set pushes into the scorer
+        like :meth:`search_filtered`, a wide one semi-joins the result.
+        Deterministic (score desc, doc_id) tie-break, same adaptive
+        local/distributed execution as :meth:`search`."""
+        restrict = None
+        if filter_ids is not None:
+            ids = filter_ids.select(F.col(id_col).alias("doc_id"))
+            n_filter = ids.count()
+            if n_filter == 0:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            if n_filter <= max_pushdown_ids:
+                restrict = np.sort(np.array(
+                    [r["doc_id"] for r in ids.distinct().collect()],
+                    dtype=np.int64,
+                ))
+            else:
+                # wide filter: keep everything distributed — force the
+                # per-segment scorer path (local_threshold=0) so the
+                # unbounded hit list never materializes on the driver
+                scored = self.search_bool(
+                    must, should, must_not, k=1 << 30, local_threshold=0
+                )
+                return (
+                    scored.join(ids, "doc_id", "left_semi")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                )
         must_t = sorted(set(tokenize_py(must)))
         should_t = sorted(set(tokenize_py(should)) - set(must_t))
         not_t = sorted(set(tokenize_py(must_not)))
@@ -251,7 +282,7 @@ class IndexReader:
         not_present = [t for t in not_t if t in dfs]
         scorer = _make_bool_segment_scorer(
             weights, must_t, not_present, avgdl, self.k1, self.b, k,
-            self.block_size,
+            self.block_size, restrict_ids=restrict,
         )
         fetch_terms = sorted(set(weights) | set(not_present))
         total_postings = sum(dfs[t] for t in fetch_terms)
@@ -1491,6 +1522,7 @@ def _make_bool_segment_scorer(
     b: float,
     k: int,
     block_size: int = 128,
+    restrict_ids: np.ndarray | None = None,
 ):
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
@@ -1499,6 +1531,12 @@ def _make_bool_segment_scorer(
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         decoded = _decode_rows(pdf)
+        if restrict_ids is not None and decoded:
+            # bool filter clause: restrict every list (must/should/not)
+            # before any candidate logic — scores of survivors unchanged
+            decoded = _restrict_to_lists(decoded, restrict_ids, block_size)
+            if not decoded:
+                return empty
         score_decoded = {t: v for t, v in decoded.items() if t in weights}
         if not score_decoded:
             return empty

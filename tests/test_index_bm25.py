@@ -795,3 +795,34 @@ def test_search_filtered_pushdown_and_fallback_agree(spark, index_dir,
     # empty filter short-circuits
     empty = spark.createDataFrame([], "doc_id long")
     assert reader.search_filtered("return", empty, k=5).count() == 0
+
+
+def test_search_bool_filter_clause(spark, index_dir, corpus_pdf):
+    """The bool query's fourth clause: filter context restricts hits
+    without touching scores — pushdown and semi-join fallback agree, and
+    both equal the unfiltered bool result restricted to the filter set."""
+    reader = IndexReader(spark, index_dir)
+    allowed_pdf = corpus_pdf[corpus_pdf["doc_id"] % 2 == 0][["doc_id"]]
+    fdf = spark.createDataFrame(allowed_pdf)
+    kwargs = {"must": "ident_1", "should": "return import",
+              "must_not": "class"}
+
+    unfiltered = reader.search_bool(**kwargs, k=1000).toPandas()
+    allow = set(allowed_pdf["doc_id"])
+    want = unfiltered[unfiltered["doc_id"].isin(allow)].head(10)
+
+    push = reader.search_bool(**kwargs, k=10, filter_ids=fdf).toPandas()
+    semi = reader.search_bool(**kwargs, k=10, filter_ids=fdf,
+                              max_pushdown_ids=0).toPandas()
+    assert push["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(push["score"].to_numpy(),
+                                  want["score"].to_numpy())
+    assert semi["doc_id"].tolist() == push["doc_id"].tolist()
+    np.testing.assert_array_equal(semi["score"].to_numpy(),
+                                  push["score"].to_numpy())
+    # empty filter short-circuits; should-only + filter also works
+    empty = spark.createDataFrame([], "doc_id long")
+    assert reader.search_bool(**kwargs, k=5, filter_ids=empty).count() == 0
+    so = reader.search_bool(should="return import", k=10,
+                            filter_ids=fdf).toPandas()
+    assert len(so) and all(d % 2 == 0 for d in so["doc_id"])
