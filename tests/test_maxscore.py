@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from kafka_connect_opensearch_spark.operators.bm25 import (
     _exact_scores,
@@ -109,3 +111,55 @@ def test_should_only_exclusion_then_maxscore_exact_and_pruning():
         _exact_scores(cand, filtered, weights, avgdl, K1, B),
         _exact_scores(cand, decoded, weights, avgdl, K1, B),
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_docs=st.integers(min_value=1, max_value=400),
+    n_terms=st.integers(min_value=1, max_value=4),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_restrict_exclude_duality(n_docs, n_terms, frac, seed):
+    """restrict(allowed) must equal exclude(universe − allowed) on every
+    posting list — same survivors, same tf/dl rows, both with valid
+    recomputed block-max (= true max of each 128-block)."""
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        _exclude_from_lists,
+        _restrict_to_lists,
+    )
+
+    rng = np.random.default_rng(seed)
+    universe = np.arange(n_docs, dtype=np.int64) * 7 + 3
+    decoded = {}
+    for t in range(n_terms):
+        ids = np.sort(rng.choice(universe,
+                                 size=rng.integers(1, n_docs + 1),
+                                 replace=False))
+        tfs = rng.integers(1, 50, size=ids.size)
+        dls = rng.integers(10, 500, size=ids.size)
+        starts = np.arange(0, ids.size, 128)
+        decoded[f"t{t}"] = (ids, tfs, dls,
+                            np.maximum.reduceat(tfs, starts))
+    allowed = np.sort(rng.choice(
+        universe, size=int(round(frac * n_docs)), replace=False
+    ).astype(np.int64))
+    blocked = np.setdiff1d(universe, allowed)
+    if allowed.size == 0:
+        restricted = {}
+    else:
+        restricted = _restrict_to_lists(decoded, allowed, 128)
+    nt = {"__not__": (blocked, np.ones_like(blocked),
+                      np.ones_like(blocked), np.array([1]))}
+    excluded = _exclude_from_lists(decoded, {**decoded, **nt},
+                                   ["__not__"], 128)
+    assert set(restricted) == set(excluded)
+    for t in restricted:
+        ri, rt, rd, rb = restricted[t]
+        ei, et, ed, eb = excluded[t]
+        np.testing.assert_array_equal(ri, ei)
+        np.testing.assert_array_equal(rt, et)
+        np.testing.assert_array_equal(rd, ed)
+        np.testing.assert_array_equal(rb, eb)
+        starts = np.arange(0, ri.size, 128)
+        np.testing.assert_array_equal(rb, np.maximum.reduceat(rt, starts))
