@@ -241,6 +241,7 @@ class IndexReader:
         Deterministic (score desc, doc_id) tie-break, same adaptive
         local/distributed execution as :meth:`search`."""
         restrict = None
+        wide_ids = None
         if filter_ids is not None:
             ids = filter_ids.select(F.col(id_col).alias("doc_id"))
             n_filter = ids.count()
@@ -254,17 +255,7 @@ class IndexReader:
                     dtype=np.int64,
                 ))
             else:
-                # wide filter: keep everything distributed — force the
-                # per-segment scorer path (local_threshold=0) so the
-                # unbounded hit list never materializes on the driver
-                scored = self.search_bool(
-                    must, should, must_not, k=1 << 30, local_threshold=0
-                )
-                return (
-                    scored.join(ids, "doc_id", "left_semi")
-                    .orderBy(F.desc("score"), F.asc("doc_id"))
-                    .limit(k)
-                )
+                wide_ids = ids
         must_t = sorted(set(tokenize_py(must)))
         should_t = sorted(set(tokenize_py(should)) - set(must_t))
         not_t = sorted(set(tokenize_py(must_not)))
@@ -286,6 +277,25 @@ class IndexReader:
         )
         fetch_terms = sorted(set(weights) | set(not_present))
         total_postings = sum(dfs[t] for t in fetch_terms)
+        if wide_ids is not None:
+            # wide filter: score every match per segment (unbounded inner
+            # k — NO global sort/limit on the unfiltered frame, so nothing
+            # corpus-sized is ever ordered or collected), then semi-join
+            # the filter and top-k the survivors
+            full = _make_bool_segment_scorer(
+                weights, must_t, not_present, avgdl, self.k1, self.b,
+                1 << 60, self.block_size,
+            )
+            scored = (
+                self.postings(fetch_terms)
+                .groupBy("seg")
+                .applyInPandas(full, schema="doc_id long, score double")
+            )
+            return (
+                scored.join(wide_ids, "doc_id", "left_semi")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
         if total_postings <= local_threshold:
             rows = self._local_topk(fetch_terms, scorer, k)
             if not rows:
