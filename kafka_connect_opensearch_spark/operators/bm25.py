@@ -901,8 +901,11 @@ class IndexReader:
         distance-then-popularity, the suggester's default ordering.
         Returns ``(term, distance, df)`` rows, coordinator-local like the
         other dictionary ops."""
+        # a generous expansion cap: the rewrite cap is alphabetical, so a
+        # tight cap could cut a nearer suggestion that sorts late — 10k
+        # candidate terms is still a bounded driver-side list
         cands = [
-            t for t in self.expand_fuzzy(term, max_edits, max_terms=1000)
+            t for t in self.expand_fuzzy(term, max_edits, max_terms=10_000)
             if t != term
         ]
         if not cands:
