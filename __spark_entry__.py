@@ -419,6 +419,20 @@ def q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+SLOPPY_SLOP = 2
+
+
+def q_sloppy_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase with slop=2 (Lucene displacement semantics: reversal
+    costs 2 moves) over the positional store."""
+    a, b = PHRASE.split()
+    return (
+        _get_positions(spark, sf_dir)
+        .sloppy_phrase_docs(a, b, SLOPPY_SLOP)
+        .orderBy("doc_id")
+    )
+
+
 def q_span_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_first: docs whose term occurs within the first N positions —
     a TRUE positional-store query (no source rescan)."""
@@ -1287,7 +1301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_match_count": q_wildcard_match_count,
         "near_match": q_near_match,
         "phrase_bm25_topk": q_phrase_bm25,
-        "search_highlight": q_search_highlight,
         "significant_terms": q_significant_terms,
         "near_match_ordered": q_near_match_ordered,
         "fielded_match_count": q_fielded_match_count,
@@ -1298,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_topk": q_msm_topk,
         "boosted_topk": q_boosted_topk,
         "span_first_match": q_span_first_match,
+        "sloppy_phrase_match": q_sloppy_phrase_match,
         "mlt_topk": q_mlt_topk,
         "rescore_topk": q_rescore_topk,
         "extended_stats_lang": q_extended_stats_lang,
@@ -1347,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
+        "search_highlight": q_search_highlight,
     }
 
 
@@ -1770,6 +1785,21 @@ FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
         "boosted_topk": _bm25_scores_cte(BOOSTS) + """
 SELECT doc_id, round(raw, 4) AS score
 FROM (SELECT * FROM scores ORDER BY raw DESC, doc_id ASC LIMIT 10) t
+""",
+        "sloppy_phrase_match": f"""
+WITH p AS (
+  SELECT doc_id, t AS term, pos FROM (
+    SELECT doc_id, unnest({_toks_sql('text')}) AS t,
+           generate_subscripts({_toks_sql('text')}, 1) AS pos
+    FROM documents
+  ) WHERE t IN ('hash', 'join')
+)
+SELECT DISTINCT a.doc_id
+FROM p a JOIN p b USING (doc_id)
+WHERE a.term = 'hash' AND b.term = 'join'
+  AND ((b.pos > a.pos AND b.pos - a.pos - 1 <= {SLOPPY_SLOP})
+    OR (a.pos > b.pos AND a.pos - b.pos + 1 <= {SLOPPY_SLOP}))
+ORDER BY doc_id
 """,
         "span_first_match": f"""
 SELECT doc_id FROM (

@@ -578,6 +578,51 @@ def _phrase_prefix_hits_keyed(
     return lookup[np.unique(allk // M)].astype(np.int64)
 
 
+def _sloppy_pair_docs_keyed(
+    keyed: dict[str, np.ndarray],
+    lookup: np.ndarray,
+    M: int,
+    term_a: str,
+    term_b: str,
+    slop: int,
+) -> np.ndarray:
+    """doc_ids matching the two-term sloppy phrase "a b" with ``slop``
+    total moves: forward pair costs ``pb − pa − 1``, reversed pair costs
+    ``pa − pb + 1``. Vectorized like :func:`_near_docs_keyed` — nearest
+    B neighbors of each A occurrence via one searchsorted, same-slot
+    masked; identical terms reduce to the consecutive-occurrence gap."""
+    ka = keyed.get(term_a)
+    kb = keyed.get(term_b)
+    if ka is None or kb is None or ka.size == 0 or kb.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if term_a == term_b:
+        if ka.size < 2:
+            return np.empty(0, dtype=np.int64)
+        d = ka[1:] - ka[:-1]
+        hit = ((ka[1:] // M) == (ka[:-1] // M)) & (d <= slop + 1)
+        if not hit.any():
+            return np.empty(0, dtype=np.int64)
+        return lookup[_uniq_sorted(ka[:-1][hit] // M)].astype(np.int64)
+    idx = np.searchsorted(kb, ka)
+    hit = np.zeros(ka.size, dtype=bool)
+    right = idx < kb.size
+    if right.any():
+        nb = kb[idx[right]]
+        av = ka[right]
+        # forward: b strictly after a, moves = nb-av-1 ≤ slop
+        hit[right] |= (nb // M == av // M) & (nb - av <= slop + 1)
+    if slop >= 2:
+        left = idx > 0
+        if left.any():
+            nb = kb[idx[left] - 1]
+            av = ka[left]
+            # reversed: b before a, moves = av-nb+1 ≤ slop
+            hit[left] |= (nb // M == av // M) & (av - nb <= slop - 1)
+    if not hit.any():
+        return np.empty(0, dtype=np.int64)
+    return lookup[_uniq_sorted(ka[hit] // M)].astype(np.int64)
+
+
 def _near_docs_keyed(
     keyed: dict[str, np.ndarray],
     lookup: np.ndarray,
@@ -979,6 +1024,35 @@ class PositionsReader:
                 "required_all": sorted(set(lead)),
                 "required_any": expansions,
             },
+        )
+
+    def sloppy_phrase_docs(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int,
+        local_threshold: int = 2_000_000,
+    ) -> DataFrame:
+        """OpenSearch ``match_phrase`` with ``slop`` for a two-term phrase
+        (Lucene sloppy-phrase displacement semantics): a doc matches when
+        some occurrence pair needs ≤ ``slop`` total moves — forward
+        ``pos_b − pos_a − 1`` moves, reversed ``pos_a − pos_b + 1`` (so
+        "b a" matches the phrase "a b" only at slop ≥ 2). slop=0 is the
+        exact phrase."""
+
+        def core(keyed, lookup, m) -> pd.DataFrame:
+            hits = _sloppy_pair_docs_keyed(
+                keyed, lookup, m, term_a, term_b, slop
+            )
+            return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
+
+        return self._run_grouped(
+            [term_a, term_b],
+            core,
+            "doc_id long",
+            {"doc_id": pd.Series([], dtype="int64")},
+            local_threshold,
+            decode_kwargs={"required_all": sorted({term_a, term_b})},
         )
 
     def span_first_docs(

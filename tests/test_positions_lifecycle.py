@@ -359,3 +359,43 @@ def test_rescore_phrase_window_semantics(spark, tmp_path):
         [r["score"] for r in got2],
         [round(s, 4) for _, s in base5], rtol=0, atol=1e-9,
     )
+
+
+def test_sloppy_phrase_semantics(spark, tmp_path):
+    """match_phrase slop (two terms, Lucene displacement): slop=0 is the
+    exact phrase; forward gaps cost gap−1; reversal costs gap+1 (so a
+    reversed-adjacent pair needs slop ≥ 2). Local and distributed agree."""
+    rows = [
+        (1, "alpha beta x"),        # adjacent forward: cost 0
+        (2, "alpha x beta"),        # gap 1 forward: cost 1
+        (3, "alpha x y beta"),      # gap 2 forward: cost 2
+        (4, "beta alpha"),          # reversed adjacent: cost 2
+        (5, "beta x alpha"),        # reversed gap: cost 3
+        (6, "alpha only"),
+        (7, "beta only"),
+    ]
+    d, _ = _build(spark, tmp_path, rows=rows)
+    pr = PositionsReader(spark, d)
+    for thr in (2_000_000, 0):
+        got0 = _ids(pr.sloppy_phrase_docs("alpha", "beta", 0,
+                                          local_threshold=thr))
+        got1 = _ids(pr.sloppy_phrase_docs("alpha", "beta", 1,
+                                          local_threshold=thr))
+        got2 = _ids(pr.sloppy_phrase_docs("alpha", "beta", 2,
+                                          local_threshold=thr))
+        got3 = _ids(pr.sloppy_phrase_docs("alpha", "beta", 3,
+                                          local_threshold=thr))
+        assert got0 == [1], (thr, got0)          # == exact phrase
+        assert got1 == [1, 2], (thr, got1)
+        assert got2 == [1, 2, 3, 4], (thr, got2)  # reversal enters at 2
+        assert got3 == [1, 2, 3, 4, 5], (thr, got3)
+    # slop=0 equals the exact phrase operator
+    assert _ids(pr.sloppy_phrase_docs("alpha", "beta", 0)) == \
+        _ids(pr.phrase_docs("alpha beta"))
+    # identical terms: two distinct occurrences within the window
+    d2, _ = _build(spark, tmp_path.joinpath("idx2"),
+                   rows=[(1, "alpha alpha"), (2, "alpha x alpha"),
+                         (3, "alpha")])
+    pr2 = PositionsReader(spark, d2)
+    assert _ids(pr2.sloppy_phrase_docs("alpha", "alpha", 0)) == [1]
+    assert _ids(pr2.sloppy_phrase_docs("alpha", "alpha", 1)) == [1, 2]
