@@ -685,11 +685,13 @@ class IndexReader:
                 )
                 tbl = dset.to_table(columns=["term"], filter=flt)
                 cand.update(tbl["term"].to_pylist())
-            out = sorted(
-                t
-                for t in cand
-                if lo <= len(t) <= hi and dist(term, t) <= max_edits
-            )
+            in_window = sorted(t for t in cand if lo <= len(t) <= hi)
+            if transpositions:
+                dists = _damerau_levenshtein_batch(term, in_window)
+                out = [t for t, dd in zip(in_window, dists, strict=True)
+                       if dd <= max_edits]
+            else:
+                out = [t for t in in_window if dist(term, t) <= max_edits]
             return out[:max_terms]
         vocab = (
             self.postings(None)
@@ -702,9 +704,17 @@ class IndexReader:
 
             @pandas_udf("int")
             def _dl(terms: pd.Series) -> pd.Series:
-                return terms.map(lambda t: _damerau_levenshtein(term, t))
+                return pd.Series(
+                    _damerau_levenshtein_batch(term, terms.tolist()),
+                    index=terms.index,
+                )
 
-            vocab = vocab.filter(_dl(F.col("term")) <= max_edits)
+            # one transposition = two plain edits, so Damerau ≤ max_edits
+            # ⇒ Levenshtein ≤ 2·max_edits: a codegen JVM pre-filter cuts
+            # the vocabulary before the exact (vectorized-numpy) DP runs
+            vocab = vocab.filter(
+                F.levenshtein(F.lit(term), F.col("term")) <= 2 * max_edits
+            ).filter(_dl(F.col("term")) <= max_edits)
         else:
             vocab = vocab.filter(
                 F.levenshtein(F.lit(term), F.col("term")) <= max_edits
@@ -894,18 +904,27 @@ class IndexReader:
         term: str,
         max_edits: int = 2,
         size: int = 3,
+        expansion_cap: int = 10_000,
     ) -> list[tuple[str, int, int]]:
         """OpenSearch term suggester (``suggest_mode: always``): dictionary
         terms within ``max_edits`` of the input (the input itself
         excluded), ranked by (edit distance asc, df desc, term asc) —
         distance-then-popularity, the suggester's default ordering.
+        Distance is the suggester's default ``internal`` string distance:
+        an adjacent transposition counts as ONE edit (Damerau), so a
+        transposed typo ranks at distance 1, not 2.
         Returns ``(term, distance, df)`` rows, coordinator-local like the
-        other dictionary ops."""
-        # a generous expansion cap: the rewrite cap is alphabetical, so a
-        # tight cap could cut a nearer suggestion that sorts late — 10k
-        # candidate terms is still a bounded driver-side list
+        other dictionary ops.
+
+        ``expansion_cap`` bounds the candidate list ALPHABETICALLY (the
+        rewrite-cap semantics shared with :meth:`expand_fuzzy`); the SQL
+        oracle mirrors the same cap so engine and oracle stay aligned
+        even on a corpus with more than ``expansion_cap`` edit-distance
+        neighbors."""
         cands = [
-            t for t in self.expand_fuzzy(term, max_edits, max_terms=10_000)
+            t for t in self.expand_fuzzy(term, max_edits,
+                                         max_terms=expansion_cap,
+                                         transpositions=True)
             if t != term
         ]
         if not cands:
@@ -913,7 +932,7 @@ class IndexReader:
         dfs = self.term_stats(cands)
         ranked = sorted(
             (
-                (_levenshtein(t, term), -dfs.get(t, 0), t)
+                (_damerau_levenshtein(t, term), -dfs.get(t, 0), t)
                 for t in cands
                 if dfs.get(t, 0) > 0
             ),
@@ -1346,6 +1365,65 @@ def _damerau_levenshtein(a: str, b: str) -> int:
             )
         da[a[i - 1]] = i
     return d[la + 1][lb + 1]
+
+
+def _damerau_levenshtein_batch(query: str, terms: list[str]) -> np.ndarray:
+    """Vectorized Lowrance-Wagner against ONE fixed query: the DP runs
+    len(query) × max(len(term)) iterations of O(batch) numpy ops — no
+    per-candidate Python DP. Bit-equal to ``_damerau_levenshtein(query,
+    t)`` for every t (hypothesis-pinned in tests/test_functions.py).
+
+    Layout: candidates padded with NUL (tokens are ``[a-z0-9_]+``, so
+    NUL never matches) into an (n, lb_max) codepoint matrix; ``da`` —
+    the last query row where each char occurred — is indexed by a
+    searchsorted id into the query's unique codepoints (0 = not in the
+    query, matching the scalar's ``da.get(c, 0)``)."""
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    la = len(query)
+    if la == 0:
+        return lens
+    lb_max = int(lens.max())
+    if lb_max == 0:
+        return np.full(n, la, dtype=np.int64)
+    joined = "".join(t.ljust(lb_max, "\0") for t in terms)
+    b_mat = (
+        np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        .reshape(n, lb_max)
+        .astype(np.int64)
+    )
+    q_arr = np.frombuffer(
+        query.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    uq = np.unique(q_arr)
+    pos = np.minimum(np.searchsorted(uq, b_mat), uq.size - 1)
+    b_qid = np.where(uq[pos] == b_mat, pos + 1, 0)   # 0 = not in query
+    q_qid = np.searchsorted(uq, q_arr) + 1
+
+    big = la + lb_max + 1        # uniform "maxdist" guard row/col value
+    d = np.full((la + 2, lb_max + 2, n), big, dtype=np.int64)
+    d[1:, 1] = np.arange(la + 1, dtype=np.int64)[:, None]
+    d[1, 1:] = np.arange(lb_max + 1, dtype=np.int64)[:, None]
+    da = np.zeros(uq.size + 1, dtype=np.int64)
+    rng = np.arange(n)
+    for i in range(1, la + 1):
+        db = np.zeros(n, dtype=np.int64)
+        a_c = q_arr[i - 1]
+        for j in range(1, lb_max + 1):
+            bj = b_mat[:, j - 1]
+            k = da[b_qid[:, j - 1]]
+            lcol = db
+            match = bj == a_c
+            cost = np.where(match, 0, 1)
+            db = np.where(match, j, db)
+            trans = d[k, lcol, rng] + (i - k - 1) + 1 + (j - lcol - 1)
+            d[i + 1, j + 1] = np.minimum.reduce(
+                [d[i, j] + cost, d[i + 1, j] + 1, d[i, j + 1] + 1, trans]
+            )
+        da[q_qid[i - 1]] = i
+    return d[la + 1, lens + 1, rng]
 
 
 def _decode_rows(pdf: pd.DataFrame) -> dict[str, tuple]:

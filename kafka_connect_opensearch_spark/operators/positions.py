@@ -1163,9 +1163,7 @@ class PositionsReader:
             # envelope as the positions read, no corpus-sized isin filter
             rare = min(uniq, key=lambda t: entries[t])
             dl_ids, dl_vals = self._dl_from_postings(reader, rare)
-            dl_arr = dl_vals[np.searchsorted(dl_ids, cand)].astype(
-                np.float64
-            )
+            dl_arr = self._dl_lookup(dl_ids, dl_vals, cand)
             w = np.round(
                 idf * bm25_tf_weight(tf_arr, dl_arr, avgdl, self.k1, self.b),
                 round_to,
@@ -1213,14 +1211,20 @@ class PositionsReader:
         query_weight: float = 1.0,
         rescore_weight: float = 1.0,
         round_to: int = 4,
+        local_threshold: int = 2_000_000,
     ) -> DataFrame:
         """OpenSearch ``rescore``: re-rank the base query's top ``window``
         hits with a phrase secondary query — final = query_weight·bm25 +
         rescore_weight·phrase_bm25 (0 for window docs without the phrase).
         The base ranking runs the native top-k path; the phrase side is
-        the same keyed-positions scoring as :meth:`phrase_topk`, so both
-        components are bit-identical to their standalone queries and the
-        sum is bit-reproducible in the SQL twin."""
+        the same keyed-positions scoring as :meth:`phrase_topk` — and the
+        same adaptive coordinator/distributed split: above
+        ``local_threshold`` summed postings the phrase occurrences run
+        distributed (:meth:`phrase_occurrences`) and only the ≤``window``
+        matching rows come back, so a stopword-heavy rescore phrase never
+        decodes unbounded posting volume on the driver. Both paths use
+        the identical float64 expression order, so the sum is
+        bit-reproducible in the SQL twin either way."""
         from kafka_connect_opensearch_spark.operators.bm25 import (
             IndexReader,
             bm25_idf,
@@ -1238,23 +1242,54 @@ class PositionsReader:
         entries = self.term_entries(uniq)
         ph: dict[int, float] = {}
         if terms and all(t in entries for t in uniq):
-            keyed, lookup, m = self._decode_local(uniq, entries,
-                                                  required_all=uniq)
-            occ = _phrase_occ_keyed(keyed, lookup, m, terms)
-            docs_arr = np.asarray(occ["doc_id"], dtype=np.int64)
-            if docs_arr.size:
-                tf_arr = np.asarray(occ["tf"], dtype=np.float64)
-                order = np.argsort(docs_arr)
-                docs_arr, tf_arr = docs_arr[order], tf_arr[order]
-                idf = bm25_idf(n_docs, docs_arr.size)
-                rare = min(uniq, key=lambda t: entries[t])
-                dl_ids, dl_vals = self._dl_from_postings(reader, rare)
-                dl_arr = dl_vals[
-                    np.searchsorted(dl_ids, docs_arr)
-                ].astype(np.float64)
-                w = idf * bm25_tf_weight(tf_arr, dl_arr, avgdl,
-                                         self.k1, self.b)
-                ph = dict(zip(docs_arr.tolist(), w.tolist(), strict=True))
+            if sum(entries.values()) <= local_threshold:
+                keyed, lookup, m = self._decode_local(uniq, entries,
+                                                      required_all=uniq)
+                occ = _phrase_occ_keyed(keyed, lookup, m, terms)
+                docs_arr = np.asarray(occ["doc_id"], dtype=np.int64)
+                if docs_arr.size:
+                    tf_arr = np.asarray(occ["tf"], dtype=np.float64)
+                    order = np.argsort(docs_arr)
+                    docs_arr, tf_arr = docs_arr[order], tf_arr[order]
+                    idf = bm25_idf(n_docs, docs_arr.size)
+                    rare = min(uniq, key=lambda t: entries[t])
+                    dl_ids, dl_vals = self._dl_from_postings(reader, rare)
+                    dl_arr = self._dl_lookup(dl_ids, dl_vals, docs_arr)
+                    w = idf * bm25_tf_weight(tf_arr, dl_arr, avgdl,
+                                             self.k1, self.b)
+                    ph = dict(zip(docs_arr.tolist(), w.tolist(),
+                                  strict=True))
+            else:
+                # stopword-heavy phrase: occurrences stay distributed;
+                # only the ≤window matching rows are collected
+                occ_df = self.phrase_occurrences(
+                    phrase, local_threshold
+                ).cache()
+                try:
+                    n_match = occ_df.count()
+                    if n_match:
+                        idf = bm25_idf(n_docs, n_match)
+                        k1, b = self.k1, self.b
+                        tf = F.col("tf").cast("double")
+                        dl = F.col("dl").cast("double")
+                        # identical float64 op order to bm25_tf_weight
+                        weight = (tf * F.lit(k1 + 1.0)) / (
+                            tf + F.lit(k1) * (F.lit(1.0 - b)
+                                              + F.lit(b) * dl / F.lit(avgdl))
+                        )
+                        base_ids = [d for d, _ in base]
+                        rows = (
+                            occ_df
+                            .filter(F.col("doc_id").isin(base_ids))
+                            .join(reader.docs().select("doc_id", "dl"),
+                                  "doc_id")
+                            .withColumn("w", F.lit(idf) * weight)
+                            .select("doc_id", "w")
+                            .collect()
+                        )
+                        ph = {r["doc_id"]: r["w"] for r in rows}
+                finally:
+                    occ_df.unpersist()
         scored = sorted(
             (
                 (-(query_weight * s + rescore_weight * ph.get(d, 0.0)), d)
@@ -1274,37 +1309,76 @@ class PositionsReader:
     def _dl_from_postings(
         self, reader, term: str
     ) -> tuple[np.ndarray, np.ndarray]:
-        """(sorted doc_ids, aligned dls) from ONE term's postings rows
-        (coordinator pyarrow scan, same pushdown shape as the positions
-        read). Arrays, not a dict: callers look up candidates with one
-        ``searchsorted`` — no per-entry Python loop even when a "rare"
-        term has millions of postings at full scale."""
+        """(sorted unique doc_ids, aligned dls) from ONE term's postings
+        rows (coordinator pyarrow scan, same pushdown shape as the
+        positions read). Arrays, not a dict: callers look up candidates
+        with one ``searchsorted`` — no per-entry Python loop even when a
+        "rare" term has millions of postings at full scale.
+
+        During the pre-reconcile window a re-ingested doc can coexist in
+        two segments; duplicates resolve to the MAX-generation segment's
+        dl (the same latest-wins rule merge applies), so phrase scoring
+        never reads the stale copy's dl."""
         import pyarrow.dataset as pads
 
+        gen_of = {s.name: s.generation for s in reader._segments}  # noqa: SLF001
         id_parts: list[np.ndarray] = []
         dl_parts: list[np.ndarray] = []
+        gen_parts: list[np.ndarray] = []
         for dset, names in reader._postings_datasets():  # noqa: SLF001
             flt = pads.field("term") == term
             if names is not None:
                 flt = flt & pads.field("seg").isin(names)
             tbl = dset.to_table(
-                columns=["doc_ids", "dls"], filter=flt
+                columns=["seg", "doc_ids", "dls"], filter=flt
             )
+            segs = tbl["seg"].to_pylist()
             for row in range(tbl.num_rows):
-                id_parts.append(np.cumsum(
+                ids_row = np.cumsum(
                     codec.varint_decode(
                         tbl["doc_ids"][row].as_py()
                     ).astype(np.int64)
-                ))
+                )
+                id_parts.append(ids_row)
                 dl_parts.append(codec.varint_decode(
                     tbl["dls"][row].as_py()
                 ).astype(np.int64))
+                gen_parts.append(np.full(
+                    ids_row.size, gen_of.get(segs[row], 0), dtype=np.int64
+                ))
         if not id_parts:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         ids = np.concatenate(id_parts)
         dls = np.concatenate(dl_parts)
-        order = np.argsort(ids, kind="stable")
-        return ids[order], dls[order]
+        gens = np.concatenate(gen_parts)
+        # sort by (doc_id, generation); the LAST row of each equal-id run
+        # is the max-generation copy — keep exactly that one
+        order = np.lexsort((gens, ids))
+        ids, dls = ids[order], dls[order]
+        keep = np.empty(ids.size, dtype=bool)
+        keep[-1] = True
+        np.not_equal(ids[:-1], ids[1:], out=keep[:-1])
+        return ids[keep], dls[keep]
+
+    @staticmethod
+    def _dl_lookup(
+        dl_ids: np.ndarray, dl_vals: np.ndarray, cand: np.ndarray
+    ) -> np.ndarray:
+        """dl for each candidate doc via one searchsorted — fails loudly
+        if a candidate is absent from the postings-derived dl arrays
+        (every phrase candidate must contain every phrase term, so a miss
+        means index corruption, not a soft fallback)."""
+        idx = np.searchsorted(dl_ids, cand)
+        if (idx >= dl_ids.size).any() or (dl_ids[np.minimum(
+                idx, dl_ids.size - 1)] != cand).any():
+            missing = cand[(idx >= dl_ids.size)
+                           | (dl_ids[np.minimum(idx, dl_ids.size - 1)]
+                              != cand)]
+            raise AssertionError(
+                f"dl lookup miss for doc_ids {missing[:5].tolist()}…: "
+                "candidate absent from the rare term's postings"
+            )
+        return dl_vals[idx].astype(np.float64)
 
 
 # --------------------------------------------------------------------------

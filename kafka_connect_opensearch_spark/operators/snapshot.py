@@ -10,11 +10,14 @@ active segments, so
   atomically (tmp + rename), so readers resolving the alias see either
   the old or the new index, never a torn state — exactly the _aliases
   atomicity contract;
-- a **snapshot** is a file-level copy of the index directory taken from
-  its committed state. Manifest commits are atomic renames, so a
-  snapshot is always a consistent point-in-time image (a concurrent
-  in-flight batch simply isn't in the copied manifest — same contract as
-  an OpenSearch snapshot of committed segments). Restore materializes
+- a **snapshot** pins the committed manifest set FIRST (one atomic
+  point-in-time read), copies exactly the immutable segment files that
+  pinned set names, and finally writes the pinned manifests into the
+  snapshot. Segments are immutable once committed and never deleted, so
+  the copy cannot observe a torn state even with live concurrent
+  writers: a manifest commit landing mid-copy is simply not in the
+  pinned set, and its segment files are never walked — same contract as
+  an OpenSearch snapshot of committed segments. Restore materializes
   the copy at a target path; the restored index is independent (later
   merges/deletes on the source don't touch it).
 
@@ -73,18 +76,65 @@ def list_aliases(aliases_dir: str) -> dict[str, str]:
 def snapshot_index(index_dir: str, snapshot_dir: str) -> dict:
     """Point-in-time copy of a committed index; returns a small summary.
 
-    The copy is taken file-by-file; because every manifest commit is an
-    atomic rename, the copied manifest set names only fully-written
-    segments — the snapshot is consistent without pausing writers."""
+    Manifest-pinned: the committed manifest set is read ONCE up front
+    (each manifest file is an atomic rename, so the listing is a
+    consistent commit point), then only the immutable segment files that
+    pinned set names are copied, and the pinned manifests themselves are
+    written last. A concurrent writer committing mid-copy cannot tear
+    the snapshot — its manifest is not in the pinned set and its segment
+    files are never walked."""
+    from kafka_connect_opensearch_spark.operators.segments import (
+        SegmentMeta, SegmentStore)
+
     if os.path.exists(snapshot_dir):
         raise FileExistsError(f"snapshot target exists: {snapshot_dir}")
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         raise FileNotFoundError(f"not an index: {index_dir}")
-    shutil.copytree(index_dir, snapshot_dir)
+
+    store = SegmentStore(index_dir)
+    batches = store.committed_batches()          # <-- the pin
+    live: dict[str, SegmentMeta] = {}
+    dead: set[str] = set()
+    for entry in batches.values():
+        for seg in entry.get("segments", []):
+            live[seg["name"]] = SegmentMeta(**seg)
+        dead.update(entry.get("replaces", []))
+    active = [m for n, m in sorted(live.items()) if n not in dead]
+
+    os.makedirs(snapshot_dir)
+    shutil.copy2(os.path.join(index_dir, "meta.json"),
+                 os.path.join(snapshot_dir, "meta.json"))
+    for m in active:
+        if m.path:
+            # Bulk (Hive-partitioned) layout: copy only this segment's
+            # seg=<name> partition dirs — in-flight partitions being
+            # written into the same bulk root are never touched.
+            rel = os.path.relpath(m.path, index_dir)
+            for sub in ("docs.parquet", "postings.parquet",
+                        "positions.parquet"):
+                src = os.path.join(m.path, sub, f"seg={m.name}")
+                if os.path.isdir(src):
+                    shutil.copytree(
+                        src, os.path.join(snapshot_dir, rel, sub,
+                                          f"seg={m.name}"))
+        else:
+            shutil.copytree(
+                store.segment_path(m.name),
+                os.path.join(snapshot_dir, "segments", m.name))
+    # Manifests last: the snapshot becomes a valid index only once the
+    # files it references are all in place (same write-then-commit
+    # ordering as the live store).
+    snap_store = SegmentStore(snapshot_dir)
+    os.makedirs(snap_store.manifest_dir, exist_ok=True)
+    os.makedirs(snap_store.segments_dir, exist_ok=True)
+    for batch_id, entry in batches.items():
+        snap_store.commit_batch(batch_id, entry)
     n_files = sum(len(fs) for _, _, fs in os.walk(snapshot_dir))
     return {"source": os.path.abspath(index_dir),
             "snapshot": os.path.abspath(snapshot_dir),
-            "files": n_files}
+            "files": n_files,
+            "segments": len(active),
+            "batches": len(batches)}
 
 
 def restore_index(snapshot_dir: str, target_dir: str) -> str:

@@ -618,7 +618,9 @@ def test_suggest_ranking(spark, index_dir, corpus_pdf):
     """Suggester: distance asc, df desc, term asc; input term excluded;
     every suggestion within max_edits."""
     from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
-    from kafka_connect_opensearch_spark.operators.bm25 import _levenshtein
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        _damerau_levenshtein,
+    )
 
     reader = IndexReader(spark, index_dir)
     got = reader.suggest("retorn", max_edits=2, size=3)
@@ -627,10 +629,56 @@ def test_suggest_ranking(spark, index_dir, corpus_pdf):
     docsets = [set(tokenize_py(t)) for t in corpus_pdf["content"]]
     for term, dist, df in got:
         assert term != "retorn"
-        assert _levenshtein(term, "retorn") == dist <= 2
+        assert _damerau_levenshtein(term, "retorn") == dist <= 2
         assert df == sum(term in s for s in docsets)
     keys = [(d, -df, t) for t, d, df in got]
     assert keys == sorted(keys)
+
+
+def test_suggest_transposition_ranks_first(spark, index_dir):
+    """The suggester's default string distance counts an adjacent swap as
+    ONE edit: 'erturn' → 'return' must surface at distance 1 (plain
+    Levenshtein would say 2)."""
+    reader = IndexReader(spark, index_dir)
+    got = reader.suggest("erturn", max_edits=1, size=3)
+    assert got and got[0][0] == "return" and got[0][1] == 1
+
+
+def test_suggest_expansion_cap_mirrors_oracle(spark, index_dir, corpus_pdf):
+    """When the alphabetical expansion cap BINDS, the engine must equal the
+    capped-CTE oracle semantics: first ``expansion_cap`` in-window terms by
+    term order (seed included), then rank by (damerau, df desc, term)."""
+    import duckdb
+
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    seed, cap = "ident_1", 4   # thousands of ident_* neighbors: cap binds
+    got = reader.suggest(seed, max_edits=2, size=3, expansion_cap=cap)
+    # engine-independent mirror of the capped oracle CTE in DuckDB
+    docsets = [set(tokenize_py(c)) for c in corpus_pdf["content"]]
+    vocab = sorted(set().union(*docsets))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dfs (term VARCHAR, df BIGINT)")
+    con.executemany(
+        "INSERT INTO dfs VALUES (?, ?)",
+        [(t, sum(t in s for s in docsets)) for t in vocab],
+    )
+    want = con.execute(f"""
+        WITH cand AS (
+          SELECT term, df FROM dfs
+          WHERE abs(len(term) - {len(seed)}) <= 2
+            AND damerau_levenshtein(term, '{seed}') <= 2
+          ORDER BY term ASC LIMIT {cap}
+        )
+        SELECT term, damerau_levenshtein(term, '{seed}')::BIGINT, df
+        FROM cand WHERE term != '{seed}'
+        ORDER BY 2 ASC, df DESC, term ASC LIMIT 3
+    """).fetchall()
+    assert [tuple(r) for r in want] == got
+    # and the cap genuinely binds on this fixture
+    uncapped = reader.suggest(seed, max_edits=2, size=3)
+    assert got != uncapped
 
 
 def test_expand_regexp_anchored_and_seeded(spark, index_dir, corpus_pdf):
@@ -761,6 +809,31 @@ def test_damerau_levenshtein_matches_duckdb():
             "SELECT damerau_levenshtein(?, ?)", [a, b]
         ).fetchone()[0]
         assert _damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_damerau_batch_equals_scalar():
+    """The vectorized (numpy DP) batch metric used on the distributed
+    fuzzy path must equal the scalar Lowrance-Wagner for every pair —
+    including empty strings, pure transpositions, and the OSA-vs-DL
+    case."""
+    import random
+
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        _damerau_levenshtein,
+        _damerau_levenshtein_batch,
+    )
+
+    rng = random.Random(11)
+    queries = ["", "a", "ca", "return", "ident_1", "erturn", "abcd"]
+    terms = ["", "ca", "abc", "acb", "return", "retrun", "ident_10",
+             "ident_999", "slow", "lsow"] + [
+        "".join(rng.choices("abcd_", k=rng.randint(0, 9)))
+        for _ in range(300)
+    ]
+    for q in queries:
+        got = _damerau_levenshtein_batch(q, terms)
+        want = [_damerau_levenshtein(q, t) for t in terms]
+        assert got.tolist() == want, q
 
 
 def test_expand_fuzzy_transpositions_both_paths(spark, index_dir, corpus_pdf):

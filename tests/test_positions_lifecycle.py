@@ -360,6 +360,13 @@ def test_rescore_phrase_window_semantics(spark, tmp_path):
         [round(s, 4) for _, s in base5], rtol=0, atol=1e-9,
     )
 
+    # stopword-heavy-phrase guard: above local_threshold the phrase side
+    # runs distributed — identical rows to the coordinator path
+    dist = pr.rescore_phrase("gamma", "alpha beta", window=2, k=2,
+                             local_threshold=0).collect()
+    assert [(r["doc_id"], r["score"]) for r in dist] == \
+        [(r["doc_id"], r["score"]) for r in got]
+
 
 def test_sloppy_phrase_semantics(spark, tmp_path):
     """match_phrase slop (two terms, Lucene displacement): slop=0 is the

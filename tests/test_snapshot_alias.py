@@ -75,3 +75,42 @@ def test_snapshot_restore_point_in_time(spark, tmp_path):
     assert r2.doc_count() == 2
     reader.refresh()
     assert reader.doc_count() == 2  # live still has docs 1 and 3
+
+
+def test_snapshot_is_manifest_pinned_not_walk_ordered(spark, tmp_path):
+    """The snapshot copies exactly what the pinned manifest set names —
+    an in-flight (data-written, not-yet-committed) segment and files a
+    concurrent writer drops into the index dir are never picked up, so a
+    commit landing mid-copy cannot tear the image (ADVICE r4 #1)."""
+    import json
+    import os
+    import shutil
+
+    d, _ = _mk_index(spark, tmp_path / "idx",
+                     [(1, "alpha beta"), (2, "alpha gamma")])
+    # simulate a live writer: a fully-written segment dir whose manifest
+    # commit hasn't happened yet, plus a stray scratch file
+    segs = os.listdir(os.path.join(d, "segments"))
+    src_seg = os.path.join(d, "segments", segs[0])
+    shutil.copytree(src_seg, os.path.join(d, "segments", "inflight_seg"))
+    with open(os.path.join(d, "scratch.tmp"), "w") as f:
+        f.write("writer scratch")
+
+    info = snap.snapshot_index(d, str(tmp_path / "snap"))
+    sd = str(tmp_path / "snap")
+    assert not os.path.exists(os.path.join(sd, "segments", "inflight_seg"))
+    assert not os.path.exists(os.path.join(sd, "scratch.tmp"))
+    # pinned manifests are byte-identical to the live commit set
+    live = sorted(os.listdir(os.path.join(d, "manifest")))
+    snapm = sorted(os.listdir(os.path.join(sd, "manifest")))
+    assert live == snapm
+    for fn in snapm:
+        with open(os.path.join(d, "manifest", fn)) as f:
+            a = json.load(f)
+        with open(os.path.join(sd, "manifest", fn)) as f:
+            b = json.load(f)
+        assert a == b
+    assert info["segments"] >= 1 and info["batches"] >= 1
+    # the snapshot is a fully-functional index
+    r = IndexReader(spark, sd)
+    assert r.doc_count() == 2
