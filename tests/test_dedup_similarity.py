@@ -195,6 +195,74 @@ def test_lsh_near_dup_pairs_precision_and_recall(spark, vectors):
     assert tight <= set(got)               # recall on true near-dups
 
 
+def test_banded_near_dup_precision_recall_and_contract_fixture(spark,
+                                                               vectors):
+    """Banded (AND-OR) sign-LSH near-dup — the contract recipe since
+    round 5 (the brute-force crossJoin lives ONLY here, as the recall
+    oracle): precision 1.0 (exact verify), tight near-dups recalled, and
+    on the contract fixture (sf0.001 embeddings at the contract
+    threshold) measured recall must hold the pinned floor AND beat the
+    radius-2 probe twin."""
+    threshold = 0.9
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.lsh_banded_near_dup_pairs(
+            vectors, threshold, dim=8, n_planes=8, band_bits=2
+        ).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    brute = {}
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a < b:
+                c = round(
+                    float(vecs[a] @ vecs[b]
+                          / (np.linalg.norm(vecs[a])
+                             * np.linalg.norm(vecs[b]))), 6,
+                )
+                if c >= threshold:
+                    brute[(a, b)] = c
+    assert set(got) <= set(brute)          # precision: no false pairs
+    for pair, cos in got.items():
+        assert cos == brute[pair]          # exact verified cosines
+    tight = {(a, b) for (a, b) in brute if a < 5 and b < 5}
+    assert tight <= set(got)               # recall on true near-dups
+
+    # contract fixture: recall floor + strictly better than radius probing
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    e = importlib.import_module("__spark_entry__")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    banded = set(
+        (r["id_a"], r["id_b"])
+        for r in e.queries()["embedding_near_dup"](
+            spark, "/root/testdata/sf0.001").collect()
+    )
+    probe = set(
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_near_dup_pairs(
+            emb, e.COSINE_PAIR_THRESHOLD, dim=e.ANN_DIM,
+            n_planes=e.ANN_PLANES, probe_radius=e.NEARDUP_RADIUS,
+        ).collect()
+    )
+    ev = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    ids = sorted(ev)
+    exhaustive = set()
+    for i, a in enumerate(ids):           # pytest-only brute force
+        for b in ids[i + 1:]:
+            c = round(float(ev[a] @ ev[b] / (np.linalg.norm(ev[a])
+                                             * np.linalg.norm(ev[b]))), 6)
+            if c >= e.COSINE_PAIR_THRESHOLD:
+                exhaustive.add((a, b))
+    assert banded <= exhaustive and probe <= exhaustive   # precision 1.0
+    recall = len(banded) / len(exhaustive)
+    assert recall >= 0.5, f"banded recall {recall:.2f} under pinned floor"
+    assert len(banded) >= len(probe)      # OR-amplification ≥ radius probe
+
+
 def test_brute_force_topk_matches_numpy(spark, vectors):
     rows = vectors.collect()
     q = np.array(rows[0]["embedding"])

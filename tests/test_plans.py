@@ -248,3 +248,21 @@ def test_round4_query_plans_are_scale_shaped(spark, tmp_path):
     dm = plans.executed_plan(qs["dismax"])
     assert dm.count("HashAggregate") >= 2  # partial + final over the union
     assert plans.has_take_ordered(qs["after"])
+
+
+def test_contract_embedding_near_dup_never_cartesian(spark):
+    """Round-5 pin (VERDICT r4 weak #1): the embedding_near_dup CONTRACT
+    entry must plan as the LSH bucket equi-join — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in its executed plan. The
+    brute-force crossJoin lives only in the pytest recall fixture."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    entry_mod = importlib.import_module("__spark_entry__")
+    sf_dir = "/root/testdata/sf0.001"
+    q = entry_mod.queries()["embedding_near_dup"](spark, sf_dir)
+    plan = plans.executed_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
