@@ -593,6 +593,21 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-derivable half of _stats (VERDICT r4 #8): doc count and
+    avgdl ARE reproducible from the source table with the contract
+    analyzer — count(*) and avg(token count) — so these two columns get
+    a full DuckDB oracle row; segment internals (segments, sum_terms,
+    postings, generation) stay on the rows-only q_index_stats +
+    pytest pin."""
+    reader = _get_index(spark, sf_dir)
+    st = reader.index_stats()
+    return spark.createDataFrame(
+        [(st["docs"], float(round(st["avgdl"], 6)))],
+        "docs long, avgdl double",
+    )
+
+
 FUZZY_T_Q = "lsow"  # one transposition from 'slow' (levenshtein would be 2)
 
 
@@ -1326,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg_chars": q_range_agg_chars,
         "histogram_value": q_histogram_value,
         "index_stats": q_index_stats,
+        "index_stats_docs": q_index_stats_docs,
         "stream_dedup": q_stream_dedup,
         "fuzzy_transpositions_count": q_fuzzy_transpositions_count,
         "date_histogram_day": q_date_histogram_day,
@@ -1910,6 +1926,11 @@ SELECT term, damerau_levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance, df
 FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
+""",
+        "index_stats_docs": f"""
+SELECT count(*)::BIGINT AS docs,
+       round(sum(len(toks))::DOUBLE / count(*), 6) AS avgdl
+FROM (SELECT {_toks_sql('text')} AS toks FROM documents)
 """,
         "terms_agg_source": """
 SELECT source, n, avg_chars FROM (

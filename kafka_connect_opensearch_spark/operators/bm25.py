@@ -237,7 +237,9 @@ class IndexReader:
         any ``should`` term matches. ``filter_ids`` is the bool query's
         fourth clause — filter context, restricting hits without touching
         scores or term statistics: a selective set pushes into the scorer
-        like :meth:`search_filtered`, a wide one semi-joins the result.
+        like :meth:`search_filtered` (broadcast once per executor), a
+        wide one is partitioned per segment and cogrouped with the
+        postings so only filter∩match docs are ever scored.
         Deterministic (score desc, doc_id) tie-break, same adaptive
         local/distributed execution as :meth:`search`."""
         restrict = None
@@ -271,32 +273,28 @@ class IndexReader:
             t: bm25_idf(n_docs, dfs[t]) for t in score_terms if t in dfs
         }
         not_present = [t for t in not_t if t in dfs]
-        scorer = _make_bool_segment_scorer(
-            weights, must_t, not_present, avgdl, self.k1, self.b, k,
-            self.block_size, restrict_ids=restrict,
-        )
         fetch_terms = sorted(set(weights) | set(not_present))
         total_postings = sum(dfs[t] for t in fetch_terms)
         if wide_ids is not None:
-            # wide filter: score every match per segment (unbounded inner
-            # k — NO global sort/limit on the unfiltered frame, so nothing
-            # corpus-sized is ever ordered or collected), then semi-join
-            # the filter and top-k the survivors
-            full = _make_bool_segment_scorer(
-                weights, must_t, not_present, avgdl, self.k1, self.b,
-                1 << 60, self.block_size,
+            # wide filter: partition the filter ids per segment (docs-table
+            # semi-join, both sides keyed, nothing collected) and cogroup
+            # with the postings — each segment's scorer restricts its
+            # posting lists FIRST, so only filter∩match docs are scored,
+            # never the full match set
+            k1, b_, bs = self.k1, self.b, self.block_size
+            out = self._cogrouped_filtered_scores(
+                fetch_terms, wide_ids,
+                lambda rid: _make_bool_segment_scorer(
+                    weights, must_t, not_present, avgdl, k1, b_,
+                    k, bs, restrict_ids=rid,
+                ),
             )
-            scored = (
-                self.postings(fetch_terms)
-                .groupBy("seg")
-                .applyInPandas(full, schema="doc_id long, score double")
-            )
-            return (
-                scored.join(wide_ids, "doc_id", "left_semi")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-            )
+            return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if total_postings <= local_threshold:
+            scorer = _make_bool_segment_scorer(
+                weights, must_t, not_present, avgdl, self.k1, self.b, k,
+                self.block_size, restrict_ids=restrict,
+            )
             rows = self._local_topk(fetch_terms, scorer, k)
             if not rows:
                 return empty
@@ -304,6 +302,14 @@ class IndexReader:
                 {"doc_id": "int64", "score": "float64"}
             )
             return self.spark.createDataFrame(pdf, "doc_id long, score double")
+        scorer = _make_bool_segment_scorer(
+            weights, must_t, not_present, avgdl, self.k1, self.b, k,
+            self.block_size,
+            restrict_ids=(
+                self.spark.sparkContext.broadcast(restrict)
+                if restrict is not None else None
+            ),
+        )
         local_topk = (
             self.postings(fetch_terms)
             .groupBy("seg")
@@ -328,11 +334,14 @@ class IndexReader:
         Execution is adaptive on the filter's selectivity (Lucene leads
         with the filter iterator for the same reason): a filter of
         ≤ ``max_pushdown_ids`` docs is collected and pushed into the
-        per-segment scorer as a candidate pre-filter, so only surviving
-        docs are ever scored — per-doc BM25 is independent of other docs,
-        so the scores are bit-identical either way. A wider filter falls
-        back to scoring the match set and left-semi joining (both sides
-        keyed, never collected)."""
+        per-segment scorer as a candidate pre-filter (shipped as ONE
+        broadcast per executor on the distributed path), so only
+        surviving docs are ever scored — per-doc BM25 is independent of
+        other docs, so the scores are bit-identical either way. A wider
+        filter is never collected: its ids are partitioned per segment
+        via the docs table and cogrouped with the postings, so the
+        per-segment scorer still pre-filters before scoring
+        (:meth:`_cogrouped_filtered_scores`)."""
         ids = filter_ids.select(F.col(id_col).alias("doc_id"))
         n_filter = ids.count()
         if n_filter == 0:
@@ -360,11 +369,11 @@ class IndexReader:
             if not qterms:
                 return empty
             weights = {t: q * bm25_idf(n_docs, dfs[t]) for t, q in qterms}
-            scorer = _make_segment_scorer(
-                weights, avgdl, self.k1, self.b, k, mode, self.block_size,
-                restrict_ids=allowed,
-            )
             if sum(dfs[t] for t, _ in qterms) <= 2_000_000:
+                scorer = _make_segment_scorer(
+                    weights, avgdl, self.k1, self.b, k, mode,
+                    self.block_size, restrict_ids=allowed,
+                )
                 rows = self._local_topk([t for t, _ in qterms], scorer, k)
                 if not rows:
                     return empty
@@ -374,17 +383,69 @@ class IndexReader:
                 return self.spark.createDataFrame(
                     pdf, "doc_id long, score double"
                 )
+            # distributed: ship the id array ONCE per executor
+            scorer = _make_segment_scorer(
+                weights, avgdl, self.k1, self.b, k, mode, self.block_size,
+                restrict_ids=self.spark.sparkContext.broadcast(allowed),
+            )
             out = (
                 self.postings([t for t, _ in qterms])
                 .groupBy("seg")
                 .applyInPandas(scorer, schema="doc_id long, score double")
             )
             return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        scored = self.score_matches(query, mode)
+        # wide filter: partition the filter ids per segment through the
+        # docs table and cogroup them with that segment's postings — the
+        # per-segment scorer pre-filters its posting lists, so only
+        # filter∩match docs are ever scored (never the full match set),
+        # and nothing is collected to the driver
+        qterms = sorted(Counter(tokenize_py(query)).items())
+        n_docs, avgdl = self._stats
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not qterms or n_docs == 0:
+            return empty
+        dfs = self.term_stats([t for t, _ in qterms])
+        if mode == "and" and any(t not in dfs for t, _ in qterms):
+            return empty
+        qterms = [(t, q) for t, q in qterms if t in dfs]
+        if not qterms:
+            return empty
+        weights = {t: q * bm25_idf(n_docs, dfs[t]) for t, q in qterms}
+        k1, b_, bs = self.k1, self.b, self.block_size  # no `self` in the
+        out = self._cogrouped_filtered_scores(    # shipped closure
+            [t for t, _ in qterms], ids,
+            lambda rid: _make_segment_scorer(
+                weights, avgdl, k1, b_, k, mode, bs, restrict_ids=rid,
+            ),
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _cogrouped_filtered_scores(
+        self, fetch_terms: list[str], ids: DataFrame, make_scorer
+    ) -> DataFrame:
+        """Wide-filter scoring cut (VERDICT r4 #10): (seg, doc_id) rows of
+        the filter — derived by semi-joining the docs table, both sides
+        keyed — cogroup with that segment's postings; ``make_scorer(rid)``
+        builds the per-segment scorer with the segment's own sorted
+        restrict array, so candidate selection and scoring only ever see
+        filter-surviving docs. Scores are unchanged by construction
+        (per-doc BM25 is independent of other docs)."""
+        filt = (
+            self.store.read_docs(self.spark, self._segments, with_seg=True)
+            .select("seg", "doc_id")
+            .join(ids.select("doc_id").distinct(), "doc_id", "left_semi")
+        )
+
+        def score_cogroup(post_pdf: pd.DataFrame,
+                          filt_pdf: pd.DataFrame) -> pd.DataFrame:
+            rid = np.sort(filt_pdf["doc_id"].to_numpy(np.int64)) \
+                if len(filt_pdf) else np.empty(0, dtype=np.int64)
+            return make_scorer(rid)(post_pdf)
+
         return (
-            scored.join(ids, "doc_id", "left_semi")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+            self.postings(fetch_terms).groupBy("seg")
+            .cogroup(filt.groupBy("seg"))
+            .applyInPandas(score_cogroup, schema="doc_id long, score double")
         )
 
     def search_after(
@@ -1482,6 +1543,17 @@ def _restrict_to_lists(
     return out
 
 
+def _resolve_restrict(restrict_ids):
+    """restrict_ids may be a plain sorted ndarray (driver-local scoring)
+    or a ``pyspark.Broadcast`` of one (distributed scoring: ONE
+    serialized copy per executor instead of a per-task closure capture —
+    at the 2M-id cap that is ~16 MB shipped once, not per stage)."""
+    from pyspark.broadcast import Broadcast
+
+    return restrict_ids.value if isinstance(restrict_ids, Broadcast) \
+        else restrict_ids
+
+
 def _make_segment_scorer(
     weights: dict[str, float],
     avgdl: float,
@@ -1490,7 +1562,7 @@ def _make_segment_scorer(
     k: int,
     mode: str,
     block_size: int,
-    restrict_ids: np.ndarray | None = None,
+    restrict_ids=None,
 ):
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
@@ -1499,11 +1571,12 @@ def _make_segment_scorer(
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         decoded = _decode_rows(pdf)
-        if restrict_ids is not None and decoded:
+        restrict_arr = _resolve_restrict(restrict_ids)
+        if restrict_arr is not None and decoded:
             # filter context: drop non-surviving docs BEFORE candidate
             # selection and scoring (per-doc BM25 is independent of other
             # docs, so surviving scores are unchanged)
-            decoded = _restrict_to_lists(decoded, restrict_ids, block_size)
+            decoded = _restrict_to_lists(decoded, restrict_arr, block_size)
         if not decoded:
             return empty
         if mode == "and":
@@ -1613,7 +1686,7 @@ def _make_bool_segment_scorer(
     b: float,
     k: int,
     block_size: int = 128,
-    restrict_ids: np.ndarray | None = None,
+    restrict_ids=None,
 ):
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
@@ -1622,10 +1695,11 @@ def _make_bool_segment_scorer(
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         decoded = _decode_rows(pdf)
-        if restrict_ids is not None and decoded:
+        restrict_arr = _resolve_restrict(restrict_ids)
+        if restrict_arr is not None and decoded:
             # bool filter clause: restrict every list (must/should/not)
             # before any candidate logic — scores of survivors unchanged
-            decoded = _restrict_to_lists(decoded, restrict_ids, block_size)
+            decoded = _restrict_to_lists(decoded, restrict_arr, block_size)
             if not decoded:
                 return empty
         score_decoded = {t: v for t, v in decoded.items() if t in weights}

@@ -899,3 +899,26 @@ def test_search_bool_filter_clause(spark, index_dir, corpus_pdf):
     so = reader.search_bool(should="return import", k=10,
                             filter_ids=fdf).toPandas()
     assert len(so) and all(d % 2 == 0 for d in so["doc_id"])
+
+
+def test_selective_filter_ships_via_broadcast(spark, index_dir, monkeypatch):
+    """Round-5 pin (VERDICT r4 #6): the distributed selective-filter path
+    must ship the restrict-id array as an explicit sc.broadcast (one
+    serialized copy per executor), not a per-task closure capture — with
+    rows identical to the coordinator-local path."""
+    reader = IndexReader(spark, index_dir)
+    ids = reader.docs().select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    calls = []
+    orig = spark.sparkContext.broadcast
+
+    def spy(v):
+        calls.append(v)
+        return orig(v)
+
+    monkeypatch.setattr(spark.sparkContext, "broadcast", spy)
+    dist = reader.search_bool(must="return", should="import", k=8,
+                              filter_ids=ids, local_threshold=0).collect()
+    assert any(isinstance(c, np.ndarray) for c in calls)
+    loc = reader.search_bool(must="return", should="import", k=8,
+                             filter_ids=ids).collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in loc]
