@@ -72,11 +72,13 @@ _INDEX_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes
 
 def _get_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # "_pos" versions the cache dir: the recorded mapping is authoritative
+    # "_pos2" versions the cache dir: the recorded mapping is authoritative
     # on resume (_effective_config), so a cache built before positions were
     # required would silently serve a positions-off index and every
-    # positional query would raise. A new name = a fresh, correct build.
-    idx_dir = os.path.join(_INDEX_ROOT, f"documents_{tag}_pos")
+    # positional query would raise — and round 5 added the block-skip
+    # columns to the positions schema, so pre-r5 caches must not resume.
+    # A new name = a fresh, correct build.
+    idx_dir = os.path.join(_INDEX_ROOT, f"documents_{tag}_pos2")
     cfg = EngineConfig(
         num_segments=2, salt_partitions=4, shuffle_partitions=8,
         index_positions=True,  # phrase/NEAR/phrase-BM25 run off the index
@@ -1296,57 +1298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # missed first, then the r3 set, with every round-4 addition inside
     # the first 50; the tail queries all have r3 driver rows.
     return {
-        "window_topn": q_window_topn,
-        "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,
-        "events_sliding": q_events_sliding,
-        "timestamp_injection": q_timestamp_injection,
-        "media_feature_stats": q_media_features,
-        "media_frame_sample": q_media_frames,
-        "bm25_topk_or": _bm25("or"),
-        "bm25_topk_and": _bm25("and"),
-        "bm25_bool": q_bm25_bool,
-        "match_count_or": _match_count("or"),
-        "match_count_and": _match_count("and"),
-        "phrase_match": q_phrase_match,
-        "phrase_match_positional": q_phrase_positional,
-        "phrase_match_3": q_phrase_match_3,
-        "phrase_prefix_match": q_phrase_prefix_match,
-        "prefix_topk": q_prefix_topk,
-        "fuzzy_match_count": q_fuzzy_match_count,
-        "wildcard_match_count": q_wildcard_match_count,
-        "near_match": q_near_match,
-        "phrase_bm25_topk": q_phrase_bm25,
-        "significant_terms": q_significant_terms,
-        "near_match_ordered": q_near_match_ordered,
-        "fielded_match_count": q_fielded_match_count,
-        "search_collapse": q_search_collapse,
-        "bool_filtered_topk": q_bool_filtered,
-        "search_filtered": q_search_filtered,
-        "search_after": q_search_after,
-        "msm_topk": q_msm_topk,
-        "boosted_topk": q_boosted_topk,
-        "span_first_match": q_span_first_match,
-        "sloppy_phrase_match": q_sloppy_phrase_match,
-        "mlt_topk": q_mlt_topk,
-        "rescore_topk": q_rescore_topk,
-        "extended_stats_lang": q_extended_stats_lang,
-        "regexp_match_count": q_regexp_match_count,
-        "suggest_term": q_suggest_term,
-        "terms_agg_source": q_terms_agg_source,
-        "composite_agg_page2": q_composite_agg_page2,
-        "dis_max_topk": q_dis_max_topk,
-        "function_score_topk": q_function_score_topk,
-        "explain_topdoc": q_explain_topdoc,
-        "range_agg_chars": q_range_agg_chars,
-        "histogram_value": q_histogram_value,
-        "index_stats": q_index_stats,
+        # round-5 rotation (VERDICT r4 #9): the 33 entries without an
+        # r4 driver row plus every query whose engine/oracle changed
+        # this round lead the dict — the driver report caps at 50
         "index_stats_docs": q_index_stats_docs,
-        "stream_dedup": q_stream_dedup,
-        "fuzzy_transpositions_count": q_fuzzy_transpositions_count,
-        "date_histogram_day": q_date_histogram_day,
-        "cardinality_by_type": q_cardinality_by_type,
-        "percentiles_by_type": q_percentiles_by_type,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
         "top_terms": q_top_terms,
@@ -1379,6 +1334,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "search_fetch": q_search_fetch,
         "search_highlight": q_search_highlight,
+        "suggest_term": q_suggest_term,
+        "bool_filtered_topk": q_bool_filtered,
+        "search_filtered": q_search_filtered,
+        "phrase_bm25_topk": q_phrase_bm25,
+        "phrase_match_positional": q_phrase_positional,
+        "near_match": q_near_match,
+        "sloppy_phrase_match": q_sloppy_phrase_match,
+        "span_first_match": q_span_first_match,
+        "rescore_topk": q_rescore_topk,
+        "fuzzy_transpositions_count": q_fuzzy_transpositions_count,
+        "window_topn": q_window_topn,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "events_sliding": q_events_sliding,
+        "timestamp_injection": q_timestamp_injection,
+        "media_feature_stats": q_media_features,
+        "media_frame_sample": q_media_frames,
+        "bm25_topk_or": _bm25("or"),
+        "bm25_topk_and": _bm25("and"),
+        "match_count_or": _match_count("or"),
+        "match_count_and": _match_count("and"),
+        "bm25_bool": q_bm25_bool,
+        "phrase_match": q_phrase_match,
+        "phrase_match_3": q_phrase_match_3,
+        "phrase_prefix_match": q_phrase_prefix_match,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_match_count": q_fuzzy_match_count,
+        "wildcard_match_count": q_wildcard_match_count,
+        "significant_terms": q_significant_terms,
+        "near_match_ordered": q_near_match_ordered,
+        "fielded_match_count": q_fielded_match_count,
+        "search_collapse": q_search_collapse,
+        "search_after": q_search_after,
+        "msm_topk": q_msm_topk,
+        "boosted_topk": q_boosted_topk,
+        "mlt_topk": q_mlt_topk,
+        "extended_stats_lang": q_extended_stats_lang,
+        "regexp_match_count": q_regexp_match_count,
+        "terms_agg_source": q_terms_agg_source,
+        "composite_agg_page2": q_composite_agg_page2,
+        "dis_max_topk": q_dis_max_topk,
+        "function_score_topk": q_function_score_topk,
+        "explain_topdoc": q_explain_topdoc,
+        "range_agg_chars": q_range_agg_chars,
+        "histogram_value": q_histogram_value,
+        "index_stats": q_index_stats,
+        "stream_dedup": q_stream_dedup,
+        "date_histogram_day": q_date_histogram_day,
+        "cardinality_by_type": q_cardinality_by_type,
+        "percentiles_by_type": q_percentiles_by_type,
     }
 
 

@@ -49,7 +49,8 @@ POSTINGS_DDL = (
 )
 POSITIONS_DDL = (
     "term string, seg string, part bigint, n_docs bigint, "
-    "doc_ids binary, pos_counts binary, positions binary"
+    "doc_ids binary, pos_counts binary, positions binary, "
+    "blk_max_doc binary, blk_lens binary"
 )
 _DDL = {"postings": POSTINGS_DDL, "positions": POSITIONS_DDL}
 

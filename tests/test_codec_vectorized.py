@@ -315,3 +315,109 @@ def test_keyed_from_parts_equals_decode_keyed(g1, g2, req_all, req_any,
     assert sorted(zip(pa_df["doc_id"], pa_df["tf"], strict=True)) == sorted(
         zip(pb_df["doc_id"], pb_df["tf"], strict=True)
     )
+
+
+def _keyed_sem(keyed, lookup, m):
+    out = set()
+    for t, keys in keyed.items():
+        for k in keys.tolist():
+            out.add((t, int(lookup[k // m]), k % m))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=10),
+        min_size=1,
+        max_size=40,
+    ),
+    req=st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=3,
+                 unique=True),
+)
+def test_skip_prune_parity_property(docs, req):
+    """Round-5 block-skip layout (VERDICT r4 #2): pruning a packed frame
+    to candidate blocks via the stored (blk_max_doc, blk_lens) skip data
+    must be semantically invisible — the keyed decode over the pruned
+    frame equals the decode over the full frame for any required_all
+    set, any corpus, any block tiling (block size forced tiny so runs,
+    gaps, and rebased first-deltas all occur)."""
+    orig = _P._SKIP_BLOCK
+    _P._SKIP_BLOCK = 3
+    try:
+        doc_toks = {i * 7 + 1: t for i, t in enumerate(docs)}
+        ids = _pa.array(sorted(doc_toks), type=_pa.int64())
+        toks = _pa.array([doc_toks[d] for d in sorted(doc_toks)],
+                         type=_pa.list_(_pa.string()))
+        out = _P._pack_group_arrow(ids, toks)
+        if out is None:
+            return
+        pdf = _pd.DataFrame(
+            {
+                "term": out[0].to_pylist(),
+                "seg": "s0",
+                "part": 0,
+                "n_docs": out[1].to_pylist(),
+                "doc_ids": out[2].to_pylist(),
+                "pos_counts": out[3].to_pylist(),
+                "positions": out[4].to_pylist(),
+                "blk_max_doc": out[5].to_pylist(),
+                "blk_lens": out[6].to_pylist(),
+            }
+        )
+        req_s = sorted(req)
+        with_skip = _P._decode_keyed(pdf, required_all=req_s)
+        without = _P._decode_keyed(
+            pdf.drop(columns=["blk_max_doc", "blk_lens"]),
+            required_all=req_s,
+        )
+        assert _keyed_sem(*with_skip) == _keyed_sem(*without)
+    finally:
+        _P._SKIP_BLOCK = orig
+
+
+def test_skip_prune_actually_prunes_and_rebases():
+    """Constructed case: a rare term restricted to one far block must cut
+    the hot term's frame to candidate runs (strictly fewer entries), with
+    doc ids intact across the rebased run boundary."""
+    orig = _P._SKIP_BLOCK
+    _P._SKIP_BLOCK = 4
+    try:
+        n = 40
+        doc_toks = {}
+        for i in range(n):
+            d = i * 3 + 2
+            doc_toks[d] = ["hot", "filler"]
+        rare_doc = (n - 3) * 3 + 2
+        doc_toks[rare_doc] = ["hot", "rare"]
+        ids = _pa.array(sorted(doc_toks), type=_pa.int64())
+        toks = _pa.array([doc_toks[d] for d in sorted(doc_toks)],
+                         type=_pa.list_(_pa.string()))
+        out = _P._pack_group_arrow(ids, toks)
+        pdf = _pd.DataFrame(
+            {
+                "term": out[0].to_pylist(),
+                "seg": "s0",
+                "part": 0,
+                "n_docs": out[1].to_pylist(),
+                "doc_ids": out[2].to_pylist(),
+                "pos_counts": out[3].to_pylist(),
+                "positions": out[4].to_pylist(),
+                "blk_max_doc": out[5].to_pylist(),
+                "blk_lens": out[6].to_pylist(),
+            }
+        )
+        pruned = _P._skip_prune_rows(pdf, ["rare", "hot"])
+        hot_entries = int(
+            pruned[pruned["term"] == "hot"]["n_docs"].sum()
+        )
+        assert hot_entries <= _P._SKIP_BLOCK          # one candidate block
+        assert hot_entries < n                        # strictly pruned
+        keyed, lookup, m = _P._decode_keyed(pdf, required_all=["rare",
+                                                               "hot"])
+        sem = _keyed_sem(keyed, lookup, m)
+        assert {d for _, d, _ in sem} == {rare_doc}   # only the candidate
+        got = _P._phrase_occ_keyed(keyed, lookup, m, ["hot", "rare"])
+        assert list(got["doc_id"]) == [rare_doc]
+    finally:
+        _P._SKIP_BLOCK = orig
