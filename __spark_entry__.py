@@ -33,7 +33,12 @@ from kafka_connect_opensearch_spark.functions.text import (
     convert_topic_to_index_name,
     convert_topic_to_index_name_sql,
 )
-from kafka_connect_opensearch_spark.operators import dedup, multimodal, similarity
+from kafka_connect_opensearch_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+)
 from kafka_connect_opensearch_spark.operators import textstats as ts
 from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
 from kafka_connect_opensearch_spark.operators.convert import (
@@ -593,6 +598,35 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segments long, docs long, sum_terms long, postings long, "
         "avgdl double, max_generation long",
     )
+
+
+SEQ_WINDOW = 2048           # training-sequence chunk width (tokens)
+# dyadic fractions: frac·1e6 is exact in float64, so the Spark and
+# DuckDB long casts agree bit-for-bit
+SAMPLE_FRACS = {"en": 0.5, "zh": 0.25, "es": 0.125}
+
+
+def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data layout: each doc's span in the concatenated
+    fixed-window token stream (GPT-style concat-then-chunk). The engine
+    computes the global prefix sum WITHOUT a single-partition running
+    window — deterministic range buckets, k-row partial sums, broadcast
+    prefix offsets (plan-pinned: no Window node); the oracle is the
+    naive SQL running window."""
+    docs = _read(spark, sf_dir, "documents")
+    return packing.sequence_chunk_spans(
+        docs, SEQ_WINDOW, id_col="doc_id", text_col="text"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: deterministic per-stratum hash-threshold
+    keep (md5 hash64 — reproducible on any cluster at any partitioning);
+    strata outside the mix are dropped."""
+    docs = _read(spark, sf_dir, "documents")
+    return packing.stratified_sample(
+        docs, SAMPLE_FRACS, stratum_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang")
 
 
 def q_index_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation (VERDICT r4 #9): the 33 entries without an
         # r4 driver row plus every query whose engine/oracle changed
         # this round lead the dict — the driver report caps at 50
+        "sequence_chunks": q_sequence_chunks,
+        "stratified_sample": q_stratified_sample,
         "index_stats_docs": q_index_stats_docs,
         "doc_count": q_doc_count,
         "term_doc_freq": q_term_doc_freq,
@@ -1931,6 +1967,30 @@ SELECT term, damerau_levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance, df
 FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
+""",
+        "sequence_chunks": f"""
+SELECT doc_id, n_tokens, start_off,
+       (start_off // {SEQ_WINDOW})::BIGINT AS first_chunk,
+       ((start_off + n_tokens - 1) // {SEQ_WINDOW})::BIGINT AS last_chunk
+FROM (
+  SELECT doc_id, n AS n_tokens,
+         (sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n)::BIGINT AS start_off
+  FROM (SELECT doc_id, len({_toks_sql('text')})::BIGINT AS n
+        FROM documents)
+  WHERE n > 0
+)
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                   WHEN 'es' THEN 0.125 END AS frac,
+         {_h64_sql("'sample:' || lang || ':' || doc_id::VARCHAR", "")}
+           % 1000000 AS h
+  FROM documents
+) WHERE frac IS NOT NULL AND h < (frac * 1000000)::BIGINT
 """,
         "index_stats_docs": f"""
 SELECT count(*)::BIGINT AS docs,

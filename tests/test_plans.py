@@ -357,3 +357,19 @@ def test_distributed_paths_use_single_pushed_segment_scan(spark, tmp_path):
         .filter(F.col("term").isin(["alpha", "gamma"])).collect()
     )
     assert got2 == want2 and got2
+
+
+def test_sequence_chunks_has_no_single_partition_window(spark):
+    """The global token prefix-sum must NOT plan a running Window (an
+    un-partitioned running window funnels the corpus through one task):
+    deterministic range buckets + k-row partials + broadcast offsets."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    e = importlib.import_module("__spark_entry__")
+    q = e.queries()["sequence_chunks"](spark, "/root/testdata/sf0.001")
+    plan = plans.executed_plan(q)
+    assert "Window" not in plan
+    assert plans.has_broadcast_join(q)   # prefix offsets ship broadcast
