@@ -62,3 +62,39 @@ def fielded_query(parts: dict[str, str]) -> str:
     return " ".join(
         field_query(f, text) for f, text in sorted(parts.items())
     )
+
+
+def multi_match_best_fields(
+    reader,
+    text: str,
+    fields: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """OpenSearch ``multi_match`` with ``type: best_fields`` (the
+    default): the query text runs as ONE match query per field and a doc
+    scores its best field's score + ``tie_breaker`` · the others — which
+    is exactly ``dis_max`` over per-field match queries, and OpenSearch
+    defines it that way. Re-cast here: each per-field query is the
+    field-qualified token string over the multi-field index, composed
+    through the unchanged BM25 stack (``search_dis_max``).
+
+    Divergence note: field statistics (dl, avgdl, df) are those of the
+    combined fielded body, not per-Lucene-field — the single-catch-all-
+    field design documented in this module; the SQL oracle mirrors the
+    same statistics, so verification is exact."""
+    return reader.search_dis_max(
+        [field_query(f, text) for f in sorted(fields)],
+        k=k,
+        tie_breaker=tie_breaker,
+    )
+
+
+def field_exists_count(reader, field: str, max_values: int = 10_000) -> int:
+    """OpenSearch ``exists`` query (D7 count form): docs with ANY
+    indexed term under ``field`` — a prefix expansion over the term
+    dictionary (``<field>__*``) counted as an OR match, the same
+    dictionary-rewrite envelope as prefix/wildcard queries. Bounded by
+    the field's distinct-token vocabulary, not the corpus."""
+    terms = reader.expand_prefix(f"{field}{FIELD_SEP}", max_values)
+    return reader.match_count(" ".join(terms), mode="or") if terms else 0

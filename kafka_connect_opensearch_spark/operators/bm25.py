@@ -1599,6 +1599,35 @@ def _restrict_to_lists(
     return out
 
 
+def parse_min_should_match(spec: str | int, n_optional: int) -> int:
+    """OpenSearch/Lucene ``minimum_should_match`` spec → required clause
+    count for ``n_optional`` optional clauses. Supported forms (the
+    common grammar; combination ``N<spec`` intentionally unsupported):
+
+    - ``3`` / ``"3"``  — fixed count;
+    - ``"-2"``         — all but 2;
+    - ``"75%"``        — ``floor(0.75 · n)`` (Lucene rounds DOWN);
+    - ``"-25%"``       — ``n - floor(0.25 · n)``.
+
+    The result is clamped to [0, n_optional] the way Lucene does."""
+    if isinstance(spec, int):
+        m = spec
+    else:
+        s = spec.strip()
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            m = (
+                n_optional - int(-pct / 100.0 * n_optional)
+                if pct < 0
+                else int(pct / 100.0 * n_optional)
+            )
+        else:
+            m = int(s)
+            if m < 0:
+                m = n_optional + m
+    return max(0, min(m, n_optional))
+
+
 def _resolve_restrict(restrict_ids):
     """restrict_ids may be a plain sorted ndarray (driver-local scoring)
     or a ``pyspark.Broadcast`` of one (distributed scoring: ONE

@@ -922,3 +922,42 @@ def test_selective_filter_ships_via_broadcast(spark, index_dir, monkeypatch):
     loc = reader.search_bool(must="return", should="import", k=8,
                              filter_ids=ids).collect()
     assert [tuple(r) for r in dist] == [tuple(r) for r in loc]
+
+
+def test_parse_min_should_match_grammar():
+    """Lucene minimum_should_match spec forms: fixed, negative,
+    percentage (round DOWN), negative percentage, clamping."""
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        parse_min_should_match as p,
+    )
+
+    assert p(2, 5) == 2
+    assert p("3", 5) == 3
+    assert p("-2", 5) == 3
+    assert p("75%", 4) == 3      # floor(3.0)
+    assert p("75%", 5) == 3      # floor(3.75) rounds DOWN
+    assert p("-25%", 4) == 3     # 4 - floor(1.0)
+    assert p("-30%", 5) == 4     # 5 - floor(1.5)
+    assert p("100%", 7) == 7
+    assert p("10", 4) == 4       # clamped to n_optional
+    assert p("-10", 4) == 0      # clamped to 0
+
+
+def test_multi_match_best_fields_is_dis_max_of_field_queries(spark,
+                                                            index_dir):
+    """best_fields == dis_max over the per-field qualified queries (the
+    OpenSearch definition) — pinned by composing both explicitly."""
+    from kafka_connect_opensearch_spark.functions.fields import (
+        field_query,
+        multi_match_best_fields,
+    )
+
+    reader = IndexReader(spark, index_dir)
+    # the plain index has no field prefixes; use raw terms as two
+    # pseudo-fields by composing the same call path
+    got = multi_match_best_fields(reader, "return import", ["a"],
+                                  k=5, tie_breaker=0.25).collect()
+    want = reader.search_dis_max(
+        [field_query("a", "return import")], k=5, tie_breaker=0.25
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
