@@ -600,6 +600,35 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_LANGS = ["en", "de"]
+FUNNEL_QUALITY = 0.5        # dyadic threshold on the rounded score
+FUNNEL_FRACS = {"en": 0.5, "de": 0.25}
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus funnel, composed from the
+    engine's own operators (each separately oracle-verified): language
+    filter → quality-score threshold → exact dedup (keep lowest id per
+    sha256) → deterministic stratified sample. One declarative plan —
+    Catalyst fuses the filters, the only shuffles are the dedup digest
+    groupBy and nothing else (sampling is per-row math)."""
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.filter(F.col("lang").isin(FUNNEL_LANGS))
+    good = (
+        ts.quality_score(staged, "text", "doc_id")
+        .filter(F.col("quality") >= FUNNEL_QUALITY)
+        .select("doc_id")
+    )
+    kept = staged.join(good, "doc_id")
+    survivors = dedup.exact_dedup(kept, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    out = kept.join(survivors, "doc_id")
+    return packing.stratified_sample(
+        out, FUNNEL_FRACS, stratum_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
 MM_TEXT = "src3 hash"       # multi_match text (cross-field relevance)
 MM_FIELDS = ["body", "source"]
 MM_TIE = 0.25               # dyadic: float parity across engines
@@ -1385,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation (VERDICT r4 #9): the 33 entries without an
         # r4 driver row plus every query whose engine/oracle changed
         # this round lead the dict — the driver report caps at 50
+        "corpus_funnel": q_corpus_funnel,
         "multi_match_topk": q_multi_match_topk,
         "field_exists_count": q_field_exists_count,
         "msm_percent_topk": q_msm_percent_topk,
@@ -2084,6 +2114,45 @@ FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
 """,
+        "corpus_funnel": f"""
+WITH staged AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE lang IN ({", ".join(f"'{x}'" for x in FUNNEL_LANGS)})
+),
+t AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE AS alpha,
+         len({_toks_sql('text')})::DOUBLE AS n_toks,
+         len(list_filter({_toks_sql('text')},
+             t -> t IN ({_en_stopwords_sql()})))::DOUBLE AS sw
+  FROM staged
+),
+q AS (
+  SELECT doc_id,
+         round((least(1.0, n_chars / 2000.0)
+                + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+                + least(0.5, CASE WHEN n_toks > 0 THEN sw / n_toks
+                             ELSE 0.0 END) * 2.0
+                + CASE WHEN n_toks > 0 AND alpha / n_toks >= 3.0
+                            AND alpha / n_toks <= 12.0
+                       THEN 1.0 ELSE 0.0 END) / 4.0, 6) AS quality
+  FROM t
+),
+kept AS (
+  SELECT s.doc_id, s.lang, s.text FROM staged s JOIN q USING (doc_id)
+  WHERE q.quality >= {FUNNEL_QUALITY}
+),
+dd AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+)
+SELECT k.doc_id, k.lang FROM kept k JOIN dd USING (doc_id)
+WHERE (CASE k.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 END) IS NOT NULL
+  AND {_h64_sql("'sample:' || k.lang || ':' || k.doc_id::VARCHAR", "")}
+        % 1000000
+      < ((CASE k.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 END)
+         * 1000000)::BIGINT
+""",
         "multi_match_topk": _multi_match_sql(),
         "field_exists_count": f"""
 SELECT count(*)::BIGINT AS n FROM documents
@@ -2633,6 +2702,14 @@ SELECT doc_id, {", ".join(f"hits_{lang}" for lang in LANG_ORDER)},
        {cascade} AS pred_lang
 FROM h
 """
+
+
+def _en_stopwords_sql() -> str:
+    from kafka_connect_opensearch_spark.operators.textstats import (
+        LANG_STOPWORDS,
+    )
+
+    return ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
 
 
 def _quality_sql() -> str:

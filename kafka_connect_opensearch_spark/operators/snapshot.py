@@ -145,3 +145,70 @@ def restore_index(snapshot_dir: str, target_dir: str) -> str:
         raise FileNotFoundError(f"not a snapshot: {snapshot_dir}")
     shutil.copytree(snapshot_dir, target_dir)
     return target_dir
+
+
+def rollover_index(
+    aliases_dir: str,
+    alias: str,
+    max_docs: int | None = None,
+) -> str | None:
+    """OpenSearch ``_rollover`` analog: when the alias's current write
+    index meets a condition (``max_docs`` here — the common ILM
+    trigger), create a fresh empty index named ``<base>-<NNNNNN>`` with
+    the SAME meta (mapping/analyzer config carry over) and atomically
+    repoint the alias. Returns the new index dir, or None when no
+    condition fired. Driver-side metadata op: one manifest read, one
+    mkdir, one atomic rename — O(1) regardless of index size."""
+    from kafka_connect_opensearch_spark.operators.segments import (
+        SegmentStore,
+    )
+
+    cur = resolve_alias(aliases_dir, alias)
+    store = SegmentStore(cur)
+    n_docs = store.global_stats()[0]
+    if max_docs is None or n_docs < max_docs:
+        return None
+    base, _, suffix = cur.rpartition("-")
+    if base and suffix.isdigit():
+        nxt = int(suffix) + 1
+    else:
+        base, nxt = cur, 1
+    new_dir = f"{base}-{nxt:06d}"
+    SegmentStore(new_dir).create_if_absent(store.meta())
+    swap_alias(aliases_dir, alias, new_dir)
+    return new_dir
+
+
+def reindex(
+    spark,
+    src_index_dir: str,
+    source,
+    dst_index_dir: str,
+    config,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """OpenSearch ``_reindex`` analog — the other half of the
+    zero-downtime remap pattern (reindex under a new mapping, then
+    ``swap_alias``): rebuild ``dst`` from exactly the docs LIVE in
+    ``src`` (latest-wins applied, deletes respected). The index stores
+    identity + stats, never content, so text comes from the source
+    table keyed by doc id — the same source-of-truth shape as the
+    connector, where re-delivery reads Kafka, not OpenSearch
+    (OpenSearchSinkTask re-consumes the topic). One keyed left-semi
+    join + a normal index build; returns the build metrics."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_opensearch_spark.operators.bm25 import IndexReader
+    from kafka_connect_opensearch_spark.operators.indexer import build_index
+
+    live = IndexReader(spark, src_index_dir).docs().select(
+        F.col("doc_id").alias("__live_id")
+    )
+    docs = source.join(
+        live, source[id_col] == F.col("__live_id"), "left_semi"
+    )
+    return build_index(
+        spark, docs, dst_index_dir, config,
+        content_col=content_col, doc_id_col=id_col,
+    )

@@ -114,3 +114,67 @@ def test_snapshot_is_manifest_pinned_not_walk_ordered(spark, tmp_path):
     # the snapshot is a fully-functional index
     r = IndexReader(spark, sd)
     assert r.doc_count() == 2
+
+
+def test_rollover_creates_fresh_write_index(spark, tmp_path):
+    """_rollover analog: max_docs trigger creates <base>-NNNNNN with the
+    same meta and atomically repoints the alias; below the threshold
+    nothing happens; successive rollovers increment the suffix."""
+    import os
+
+    d, cfg = _mk_index(spark, tmp_path / "logs",
+                       [(1, "alpha beta"), (2, "alpha gamma")])
+    aliases = str(tmp_path / "aliases")
+    snap.create_alias(aliases, "write", d)
+    assert snap.rollover_index(aliases, "write", max_docs=10) is None
+    new = snap.rollover_index(aliases, "write", max_docs=2)
+    assert new is not None and new.endswith("-000001")
+    assert snap.resolve_alias(aliases, "write") == os.path.abspath(new)
+    # same meta (analyzer/BM25 config carries over), empty doc set
+    from kafka_connect_opensearch_spark.operators.segments import (
+        SegmentStore,
+    )
+
+    assert SegmentStore(new).meta() == SegmentStore(d).meta()
+    assert SegmentStore(new).global_stats()[0] == 0
+    # a second rollover only fires once the new index fills up
+    assert snap.rollover_index(aliases, "write", max_docs=2) is None
+    docs = spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "delta zeta"), (12, "delta eta")],
+        "doc_id long, text string")
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        build_index as _build,
+    )
+
+    _build(spark, docs, new, cfg, content_col="text", doc_id_col="doc_id")
+    newer = snap.rollover_index(aliases, "write", max_docs=2)
+    assert newer is not None and newer.endswith("-000002")
+
+
+def test_reindex_rebuilds_live_docs_only(spark, tmp_path):
+    """_reindex analog: the destination contains exactly the docs LIVE
+    in the source index (deletes respected), rebuilt under a different
+    config, with identical query results."""
+    rows = [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta gamma")]
+    d, cfg = _mk_index(spark, tmp_path / "src", rows)
+    deletes = spark.createDataFrame([("2",)], "doc_key string")
+    merge_segments(spark, d, cfg, delete_doc_keys=deletes)
+
+    source = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg2 = EngineConfig(num_segments=2, salt_partitions=2,
+                        shuffle_partitions=2, index_positions=True)
+    dst = str(tmp_path / "dst")
+    metrics = snap.reindex(spark, d, source, dst, cfg2,
+                           content_col="text", id_col="doc_id")
+    assert metrics.docs_indexed == 2          # doc 2 deleted in src
+    r_src, r_dst = IndexReader(spark, d), IndexReader(spark, dst)
+    assert r_dst.doc_count() == r_src.doc_count() == 2
+    a = r_src.search("alpha beta", k=10).collect()
+    b = r_dst.search("alpha beta", k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # and the new config took effect (positions now available)
+    from kafka_connect_opensearch_spark.operators.positions import (
+        PositionsReader,
+    )
+
+    assert PositionsReader(spark, dst).phrase_match_ids("alpha beta") == [1]
