@@ -1955,3 +1955,42 @@ def brute_force_bm25(
     order = np.lexsort((ids[idx], -scores[idx]))[:k]
     sel = idx[order]
     return pd.DataFrame({"doc_id": ids[sel], "score": scores[sel]})
+
+
+def search_across(
+    spark,
+    index_dirs: dict[str, str],
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+) -> "DataFrame":
+    """Cross-index search — the OpenSearch index-pattern / ``_msearch``
+    shape users run over rollover generations (``logs-*``): each index
+    scores with its OWN statistics (query_then_fetch, the OpenSearch
+    default — scores are shard-local there for exactly this reason) and
+    the per-index hits merge into one global (score desc, index, doc_id)
+    top-k. Returns (index, doc_id, score).
+
+    One ``score_matches`` plan per index unioned before a single
+    TakeOrderedAndProject — per-index coordinator metadata reads stay
+    independent, and nothing corpus-sized is sorted globally. A
+    dfs_query_then_fetch analog (merged global df/N) is intentionally
+    not provided: per-index stats are the engine's — and OpenSearch's —
+    default semantics, and reweighting would change every score oracle.
+    """
+    frames = []
+    for name in sorted(index_dirs):
+        r = IndexReader(spark, index_dirs[name])
+        frames.append(
+            r.score_matches(query, mode)
+            .select(F.lit(name).alias("index"), "doc_id", "score")
+        )
+    empty = spark.createDataFrame([], "index string, doc_id long, score double")
+    if not frames:
+        return empty
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u.orderBy(
+        F.desc("score"), F.asc("index"), F.asc("doc_id")
+    ).limit(k)

@@ -178,3 +178,25 @@ def test_reindex_rebuilds_live_docs_only(spark, tmp_path):
     )
 
     assert PositionsReader(spark, dst).phrase_match_ids("alpha beta") == [1]
+
+
+def test_search_across_rollover_generations(spark, tmp_path):
+    """Index-pattern search over rollover generations: per-index stats
+    (query_then_fetch), one global top-k; results equal the per-index
+    searches merged by (score, index, doc_id)."""
+    from kafka_connect_opensearch_spark.operators.bm25 import search_across
+
+    d1, _ = _mk_index(spark, tmp_path / "logs-000001",
+                      [(1, "alpha beta"), (2, "alpha gamma")])
+    d2, _ = _mk_index(spark, tmp_path / "logs-000002",
+                      [(10, "alpha alpha beta"), (11, "delta")])
+    got = search_across(
+        spark, {"logs-000001": d1, "logs-000002": d2}, "alpha", k=10
+    ).collect()
+    merged = []
+    for name, d in [("logs-000001", d1), ("logs-000002", d2)]:
+        for r in IndexReader(spark, d).score_matches("alpha").collect():
+            merged.append((name, r["doc_id"], r["score"]))
+    merged.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert [tuple(r) for r in got] == merged[:10]
+    assert {r["index"] for r in got} == {"logs-000001", "logs-000002"}
