@@ -17,10 +17,11 @@ Scale design:
   doc_id (a pure function of the id against driver-computed bounds — no
   sampling, so every job sees identical buckets), per-bucket partial
   sums (one tiny aggregate, k rows to the driver), and a broadcast
-  prefix-offset joined back per bucket with the within-bucket cumsum
-  done in one ``applyInPandas`` pass. Three narrow jobs, no
-  corpus-sized sort on one task. Plan-pinned (no Window node,
-  tests/test_plans.py).
+  prefix-offset joined back per bucket with the within-bucket running
+  sum as a bucket-PARTITIONED window (sort-based and spill-safe — a
+  bucket never has to fit in one task's memory). Three narrow jobs, no
+  corpus-sized sort or single-partition exchange anywhere. Plan-pinned
+  (tests/test_plans.py).
 - :func:`stratified_sample` is a pure per-row hash threshold (the
   md5-derived ``hash64`` already used for doc identity), so the sample
   is reproducible on any cluster at any partitioning, needs no state,
@@ -55,8 +56,6 @@ def sequence_chunk_spans(
 
     Empty-after-analysis docs occupy no tokens and are omitted (they'd
     have no chunk). Deterministic for any partitioning."""
-    import pandas as pd
-
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -97,28 +96,35 @@ def sequence_chunk_spans(
         [(b, prefix[b]) for b in sorted(sums)], "bucket long, prefix long"
     )
 
-    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", ignore_index=True)
-        csum = pdf["n_tokens"].cumsum()
-        pdf["start_off"] = pdf["prefix"] + csum - pdf["n_tokens"]
-        return pdf[["doc_id", "n_tokens", "start_off"]]
+    # within-bucket running sum as a PARTITIONED window (sort-based,
+    # spill-safe — a bucket never materializes in one task's memory the
+    # way an applyInPandas cumsum would); the global component is the
+    # broadcast per-bucket prefix. No single-partition exchange anywhere.
+    from pyspark.sql.window import Window
 
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     spans = (
         with_b.join(F.broadcast(offsets), "bucket")
-        .groupBy("bucket")
-        .applyInPandas(
-            cumsum, schema="doc_id long, n_tokens long, start_off long"
+        .withColumn(
+            "start_off",
+            F.col("prefix") + F.sum("n_tokens").over(w_run)
+            - F.col("n_tokens"),
         )
+        .select("doc_id", "n_tokens", "start_off")
     )
-    w = F.lit(int(window))
+    # integer `div`, not double division: a 100 TB corpus's token
+    # offsets exceed 2^53, where float division would mis-bucket
+    w = int(window)
     return spans.select(
         "doc_id",
         "n_tokens",
         "start_off",
-        (F.col("start_off") / w).cast("long").alias("first_chunk"),
-        ((F.col("start_off") + F.col("n_tokens") - 1) / w)
-        .cast("long")
-        .alias("last_chunk"),
+        F.expr(f"start_off div {w}").alias("first_chunk"),
+        F.expr(f"(start_off + n_tokens - 1) div {w}").alias("last_chunk"),
     )
 
 

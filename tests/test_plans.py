@@ -360,9 +360,11 @@ def test_distributed_paths_use_single_pushed_segment_scan(spark, tmp_path):
 
 
 def test_sequence_chunks_has_no_single_partition_window(spark):
-    """The global token prefix-sum must NOT plan a running Window (an
-    un-partitioned running window funnels the corpus through one task):
-    deterministic range buckets + k-row partials + broadcast offsets."""
+    """The global token prefix-sum must never funnel the corpus through
+    one task: the running window is PARTITIONED by the deterministic
+    range bucket (hash exchange, sort-based + spillable), the global
+    component is a broadcast k-row prefix join — no single-partition
+    exchange anywhere in the plan."""
     import importlib
     import os
     import sys
@@ -371,5 +373,8 @@ def test_sequence_chunks_has_no_single_partition_window(spark):
     e = importlib.import_module("__spark_entry__")
     q = e.queries()["sequence_chunks"](spark, "/root/testdata/sf0.001")
     plan = plans.executed_plan(q)
-    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and "partitionBy" not in plan.lower().replace(
+        "hashpartitioning", "")  # window rides the bucket hash exchange
+    assert "hashpartitioning(bucket" in plan
     assert plans.has_broadcast_join(q)   # prefix offsets ship broadcast
