@@ -1180,18 +1180,35 @@ class IndexReader:
             .applyInPandas(and_docs, schema=counter_schema)
         )
 
-    def score_matches(self, query: str, mode: str = "or") -> DataFrame:
+    def score_matches(
+        self,
+        query: str,
+        mode: str = "or",
+        stats_override: tuple[int, float, dict[str, int]] | None = None,
+    ) -> DataFrame:
         """EXACT BM25 scores for EVERY matching doc (no top-k cut) as a
         DataFrame — the substrate for analytics that need the full hit
         list (field collapsing, score histograms). Per-segment numpy
         scoring exactly as :meth:`search`; with an unbounded k the
-        MaxScore threshold stays 0, so no candidate is pruned."""
+        MaxScore threshold stays 0, so no candidate is pruned.
+
+        ``stats_override = (n_docs, avgdl, dfs)`` scores with EXTERNAL
+        statistics instead of this index's own — the dfs_query_then_fetch
+        substrate (:func:`search_across` merges per-index stats into a
+        global set and passes them here, so scores match a single
+        combined index exactly)."""
         qterms = sorted(Counter(tokenize_py(query)).items())
-        n_docs, avgdl = self._stats
+        if stats_override is not None:
+            n_docs, avgdl, dfs_all = stats_override
+        else:
+            n_docs, avgdl = self._stats
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not qterms or n_docs == 0:
             return empty
-        dfs = self.term_stats([t for t, _ in qterms])
+        if stats_override is not None:
+            dfs = {t: dfs_all[t] for t, _ in qterms if dfs_all.get(t)}
+        else:
+            dfs = self.term_stats([t for t, _ in qterms])
         if mode == "and" and any(t not in dfs for t, _ in qterms):
             return empty
         qterms = [(t, q) for t, q in qterms if t in dfs]
@@ -1963,26 +1980,47 @@ def search_across(
     query: str,
     k: int = 10,
     mode: str = "or",
+    search_type: str = "query_then_fetch",
 ) -> "DataFrame":
     """Cross-index search — the OpenSearch index-pattern / ``_msearch``
-    shape users run over rollover generations (``logs-*``): each index
-    scores with its OWN statistics (query_then_fetch, the OpenSearch
-    default — scores are shard-local there for exactly this reason) and
-    the per-index hits merge into one global (score desc, index, doc_id)
-    top-k. Returns (index, doc_id, score).
+    shape users run over rollover generations (``logs-*``). Returns
+    (index, doc_id, score): per-index hits merged into one global
+    (score desc, index, doc_id) top-k.
+
+    ``search_type`` mirrors OpenSearch:
+
+    - ``query_then_fetch`` (default): each index scores with its OWN
+      statistics — scores are shard/index-local, OpenSearch's default
+      for exactly this cost reason;
+    - ``dfs_query_then_fetch``: a distributed-frequency pre-phase merges
+      the per-index term statistics driver-side (Σdf, ΣN, pooled avgdl —
+      coordinator metadata reads, O(terms·indices)) and every index
+      scores with the GLOBAL stats, so results are EXACTLY what one
+      combined index would return (pinned by test).
 
     One ``score_matches`` plan per index unioned before a single
-    TakeOrderedAndProject — per-index coordinator metadata reads stay
-    independent, and nothing corpus-sized is sorted globally. A
-    dfs_query_then_fetch analog (merged global df/N) is intentionally
-    not provided: per-index stats are the engine's — and OpenSearch's —
-    default semantics, and reweighting would change every score oracle.
-    """
+    TakeOrderedAndProject — nothing corpus-sized is sorted globally."""
+    names = sorted(index_dirs)
+    readers = {n: IndexReader(spark, index_dirs[n]) for n in names}
+    override = None
+    if search_type == "dfs_query_then_fetch":
+        terms = sorted(set(tokenize_py(query)))
+        n_docs, sum_dl = 0, 0.0
+        dfs_all: dict[str, int] = dict.fromkeys(terms, 0)
+        for r in readers.values():
+            n_i, avgdl_i = r._stats  # noqa: SLF001
+            n_docs += n_i
+            sum_dl += avgdl_i * n_i
+            for t, df in r.term_stats(terms).items():
+                dfs_all[t] += df
+        override = (n_docs, (sum_dl / n_docs if n_docs else 0.0), dfs_all)
+    elif search_type != "query_then_fetch":
+        raise ValueError(f"unknown search_type: {search_type!r}")
     frames = []
-    for name in sorted(index_dirs):
-        r = IndexReader(spark, index_dirs[name])
+    for name in names:
         frames.append(
-            r.score_matches(query, mode)
+            readers[name]
+            .score_matches(query, mode, stats_override=override)
             .select(F.lit(name).alias("index"), "doc_id", "score")
         )
     empty = spark.createDataFrame([], "index string, doc_id long, score double")

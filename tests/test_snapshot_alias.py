@@ -200,3 +200,31 @@ def test_search_across_rollover_generations(spark, tmp_path):
     merged.sort(key=lambda t: (-t[2], t[0], t[1]))
     assert [tuple(r) for r in got] == merged[:10]
     assert {r["index"] for r in got} == {"logs-000001", "logs-000002"}
+
+
+def test_dfs_search_across_equals_combined_index(spark, tmp_path):
+    """dfs_query_then_fetch invariant: two split indices searched with
+    merged global statistics return EXACTLY the (doc_id, score) set one
+    combined index over the union of docs returns — bit-identical
+    scores, since tf/dl are per-doc and (N, avgdl, df) are pooled."""
+    from kafka_connect_opensearch_spark.operators.bm25 import search_across
+
+    rows_a = [(1, "alpha beta"), (2, "alpha gamma delta")]
+    rows_b = [(10, "alpha alpha beta"), (11, "beta epsilon")]
+    da, _ = _mk_index(spark, tmp_path / "a", rows_a)
+    db, _ = _mk_index(spark, tmp_path / "b", rows_b)
+    dc, _ = _mk_index(spark, tmp_path / "c", rows_a + rows_b)
+
+    got = search_across(
+        spark, {"a": da, "b": db}, "alpha beta", k=10,
+        search_type="dfs_query_then_fetch",
+    ).collect()
+    want = IndexReader(spark, dc).search("alpha beta", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+    # and the default query_then_fetch genuinely differs (local idf)
+    local = search_across(spark, {"a": da, "b": db}, "alpha beta",
+                          k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in local] != \
+        [(r["doc_id"], r["score"]) for r in want]
