@@ -1441,6 +1441,65 @@ def highlight_snippets(
     )
 
 
+def highlight_fragments(
+    hits: DataFrame,
+    source: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n_fragments: int = 2,
+    before: int = 2,
+    width: int = 5,
+) -> DataFrame:
+    """Multi-fragment highlighting (OpenSearch ``number_of_fragments``):
+    up to ``n_fragments`` snippets per hit, one per disjoint
+    ``width``-token REGION containing a query-term occurrence — the
+    region anchor is its earliest occurrence, each fragment starts
+    ``before`` tokens ahead of its anchor, fragments join with " … "
+    (the plain highlighter's multi-fragment output shape, with a
+    deterministic region rule instead of Lucene's fragment scorer so
+    the SQL oracle reproduces it exactly).
+
+    Runs as array ops on the K HIT ROWS after a broadcast join — the
+    higher-order functions here are interpreted (CodegenFallback), which
+    is irrelevant at k rows and never touches the corpus."""
+    terms = sorted(set(tokenize_py(query)))
+    toks = F.expr(tokenize_expr(text_col))
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    joined = source.join(F.broadcast(hits), [id_col]) if id_col == "doc_id" \
+        else source.join(
+            F.broadcast(hits), source[id_col] == hits["doc_id"]
+        )
+    j = joined.select("doc_id", "score", toks.alias("_toks"))
+    occ = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda i: F.array_contains(terms_arr, F.get("_toks", i - 1)),
+    )
+    j = j.select("doc_id", "score", "_toks", occ.alias("_occ"))
+    region = lambda p: F.floor((p - 1) / F.lit(width)).cast("long")  # noqa: E731
+    anchors = F.filter(
+        F.col("_occ"),
+        lambda p, i: (i == F.lit(0))
+        | (region(p) != region(F.get("_occ", i - 1))),
+    )
+    j = j.select(
+        "doc_id", "score", "_toks",
+        F.slice(anchors, 1, n_fragments).alias("_anchors"),
+    )
+    frag = lambda a: F.concat_ws(  # noqa: E731
+        " ",
+        F.slice("_toks", F.greatest(a - F.lit(before), F.lit(1)), width),
+    )
+    return j.select(
+        "doc_id",
+        "score",
+        F.when(
+            F.size("_anchors") > 0,
+            F.array_join(F.transform("_anchors", frag), " … "),
+        ).alias("snippet"),
+    )
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Unit-cost edit distance (insert/delete/substitute) — identical
     definition to Spark's and DuckDB's ``levenshtein``, so the coordinator
