@@ -286,6 +286,27 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERC_QUERIES = [
+    (1, "hash table", "and"),
+    (2, "window", "or"),
+    (3, "stream merge", "and"),
+    (4, "agg filter join", "or"),
+    (5, "nosuchtoken_xyz", "or"),
+]
+
+
+def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch percolator (reverse search / saved-query alerting):
+    which stored queries match each document — broadcast query-term
+    join + per-(doc, query) matched-term count; AND needs every term,
+    OR any. No corpus × queries cartesian anywhere."""
+    from kafka_connect_opensearch_spark.operators import percolate as perc
+
+    docs = _read(spark, sf_dir, "documents")
+    qs = perc.stored_queries(spark, PERC_QUERIES)
+    return perc.percolate(docs, qs, text_col="text", id_col="doc_id")
+
+
 HL_FRAGS, HL_WIDTH = 2, 5   # multi-fragment highlight shape
 
 
@@ -1437,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation (VERDICT r4 #9): the 33 entries without an
         # r4 driver row plus every query whose engine/oracle changed
         # this round lead the dict — the driver report caps at 50
+        "percolate_matches": q_percolate_matches,
         "search_highlight_multi": q_search_highlight_multi,
         "corpus_funnel": q_corpus_funnel,
         "multi_match_topk": q_multi_match_topk,
@@ -2171,6 +2193,32 @@ SELECT term, damerau_levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance, df
 FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
+""",
+        "percolate_matches": f"""
+WITH q AS (
+  SELECT * FROM (VALUES
+    (1, ['hash', 'table'], 'and'),
+    (2, ['window'], 'or'),
+    (3, ['merge', 'stream'], 'and'),
+    (4, ['agg', 'filter', 'join'], 'or'),
+    (5, ['nosuchtoken_xyz'], 'or')
+  ) v(query_id, terms, mode)
+),
+qt AS (
+  SELECT query_id, mode, len(terms) AS n_terms, unnest(terms) AS term
+  FROM q WHERE len(terms) > 0
+),
+dt AS (
+  SELECT doc_id, unnest(list_distinct({_toks_sql('text')})) AS term
+  FROM documents
+)
+SELECT query_id::BIGINT AS query_id, doc_id
+FROM (
+  SELECT d.doc_id, t.query_id, t.mode, t.n_terms,
+         count(*) AS matched
+  FROM dt d JOIN qt t USING (term)
+  GROUP BY 1, 2, 3, 4
+) WHERE mode = 'or' OR matched = n_terms
 """,
         "search_highlight_multi": _search_highlight_multi_sql(),
         "corpus_funnel": f"""
