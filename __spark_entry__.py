@@ -286,6 +286,21 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TV_DOC_ID = 7           # _termvectors target doc
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch _termvectors (realtime + term_statistics): per-doc
+    (term, tf, positions) recomputed from the stored source, df from the
+    index's term dictionary."""
+    from kafka_connect_opensearch_spark.operators.bm25 import term_vectors
+
+    reader = _get_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return term_vectors(reader, docs, TV_DOC_ID, text_col="text",
+                        id_col="doc_id")
+
+
 PERC_QUERIES = [
     (1, "hash table", "and"),
     (2, "window", "or"),
@@ -1458,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation (VERDICT r4 #9): the 33 entries without an
         # r4 driver row plus every query whose engine/oracle changed
         # this round lead the dict — the driver report caps at 50
+        "term_vectors": q_term_vectors,
         "percolate_matches": q_percolate_matches,
         "search_highlight_multi": q_search_highlight_multi,
         "corpus_funnel": q_corpus_funnel,
@@ -2193,6 +2209,25 @@ SELECT term, damerau_levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance, df
 FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
+""",
+        "term_vectors": f"""
+WITH toks AS (
+  SELECT unnest({_toks_sql('text')}) AS term,
+         generate_subscripts({_toks_sql('text')}, 1) AS pos
+  FROM documents WHERE doc_id = {TV_DOC_ID}
+),
+tv AS (
+  SELECT term, count(*)::BIGINT AS tf,
+         list_sort(list(pos))::INT[] AS positions
+  FROM toks GROUP BY term
+),
+alltoks AS (
+  SELECT doc_id, unnest(list_distinct({_toks_sql('text')})) AS term
+  FROM documents
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM alltoks GROUP BY term)
+SELECT tv.term, tv.tf, tv.positions, dfs.df
+FROM tv JOIN dfs USING (term)
 """,
         "percolate_matches": f"""
 WITH q AS (

@@ -1441,6 +1441,45 @@ def highlight_snippets(
     )
 
 
+def term_vectors(
+    reader: "IndexReader",
+    source: DataFrame,
+    doc_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OpenSearch ``_termvectors`` (realtime mode): the per-doc term
+    vector — (term, tf, positions) — computed on the fly from the stored
+    source (exactly what OpenSearch does when term vectors aren't stored:
+    re-analyze ``_source``), enriched with the INDEX's document frequency
+    per term (``term_statistics: true``). One-row driver fetch + one
+    coordinator term-dictionary read; never a corpus scan (the positional
+    store is term-major — an inverted per-doc lookup there would read
+    every term's postings, which is why Lucene keeps term vectors as a
+    separate doc-major structure and OpenSearch recomputes realtime
+    vectors from source)."""
+    rows = (
+        source.filter(F.col(id_col) == doc_id).select(text_col).collect()
+    )
+    schema = ("term string, tf long, positions array<int>, df long")
+    if not rows or rows[0][0] is None:
+        return reader.spark.createDataFrame([], schema)
+    toks = tokenize_py(rows[0][0])
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        pos.setdefault(t, []).append(i + 1)   # 1-based like the oracle
+    dfs = reader.term_stats(sorted(pos))
+    pdf = pd.DataFrame(
+        {
+            "term": sorted(pos),
+            "tf": [len(pos[t]) for t in sorted(pos)],
+            "positions": [pos[t] for t in sorted(pos)],
+            "df": [dfs.get(t, 0) for t in sorted(pos)],
+        }
+    )
+    return reader.spark.createDataFrame(pdf, schema)
+
+
 def highlight_fragments(
     hits: DataFrame,
     source: DataFrame,

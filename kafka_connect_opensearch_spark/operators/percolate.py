@@ -71,3 +71,48 @@ def percolate(
     return hits.filter(
         (F.col("mode") == "or") | (F.col("matched") == F.col("n_terms"))
     ).select("query_id", "doc_id")
+
+
+def percolate_stateless(
+    docs: DataFrame,
+    query_rows: list[tuple[int, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless percolate — the STREAMING alerting shape: the stored
+    queries ship as a literal array in the plan and every doc row
+    evaluates them with array intersections (exactly Lucene's
+    per-document query evaluation, O(queries) per doc), so there is NO
+    aggregation and no shuffle: works in append-mode streams without a
+    watermark and never holds state. Prefer :func:`percolate` for batch
+    backfills over very large stored-query sets (its broadcast term join
+    skips queries sharing no term with the doc)."""
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize_py
+
+    analyzed = [
+        (qid, sorted(set(tokenize_py(text))), mode)
+        for qid, text, mode in query_rows
+    ]
+    qlit = F.array(*[
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.array(*[F.lit(t) for t in terms]).alias("terms"),
+            F.lit(mode).alias("mode"),
+        )
+        for qid, terms, mode in analyzed
+        if terms
+    ])
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    matched = F.filter(
+        qlit,
+        lambda q: F.when(
+            q["mode"] == "or",
+            F.size(F.array_intersect(toks, q["terms"])) > 0,
+        ).otherwise(
+            F.size(F.array_intersect(toks, q["terms"]))
+            == F.size(q["terms"])
+        ),
+    )
+    return docs.select(
+        F.explode(matched).alias("q"), F.col(id_col).alias("doc_id")
+    ).select(F.col("q.query_id").alias("query_id"), "doc_id")
