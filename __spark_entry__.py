@@ -673,12 +673,12 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy and nothing else (sampling is per-row math)."""
     docs = _read(spark, sf_dir, "documents")
     staged = docs.filter(F.col("lang").isin(FUNNEL_LANGS))
-    good = (
-        ts.quality_score(staged, "text", "doc_id")
-        .filter(F.col("quality") >= FUNNEL_QUALITY)
-        .select("doc_id")
+    # quality computed INLINE (ts.quality_columns) — a projection fused
+    # into the scan filter, not a self-join; the funnel's only shuffle
+    # is the dedup digest groupBy
+    kept = staged.filter(
+        ts.quality_columns("text")["quality"] >= FUNNEL_QUALITY
     )
-    kept = staged.join(good, "doc_id")
     survivors = dedup.exact_dedup(kept, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )

@@ -80,6 +80,36 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def quality_columns(text_col: str) -> dict[str, "F.Column"]:
+    """The quality-feature expressions as plain Columns, so callers can
+    compute quality INLINE on their own frame (e.g. the corpus-funnel
+    filter — a projection, not a join) — same math as
+    :func:`quality_score`."""
+    text = F.col(text_col)
+    toks = tokenize(text_col)
+    n_chars = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+    n_toks = F.size(toks).cast("double")
+    sw = stopword_hits_text(text, LANG_STOPWORDS["en"]).cast("double")
+    mean_wl = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_chars / 2000.0)
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    sw_score = (
+        F.least(F.lit(0.5), F.when(n_toks > 0, sw / n_toks).otherwise(0.0))
+        * 2.0
+    )
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    return {
+        "len_score": F.round(len_score, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "stopword_score": F.round(sw_score, 6),
+        "wordlen_score": wl_score,
+        "quality": F.round(
+            (len_score + alpha_ratio + sw_score + wl_score) / 4.0, 6
+        ),
+    }
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic doc-quality features + composite score in [0, 1]:
 
@@ -90,26 +120,9 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     score = rounded mean of the four. Deterministic, SQL-portable.
     """
-    text = F.col(text_col)
-    toks = tokenize(text_col)
-    n_chars = F.length(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
-    n_toks = F.size(toks).cast("double")
-    sw = stopword_hits_text(text, LANG_STOPWORDS["en"]).cast("double")
-    mean_wl = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
-    len_score = F.least(F.lit(1.0), n_chars / 2000.0)
-    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
-    sw_score = F.least(F.lit(0.5), F.when(n_toks > 0, sw / n_toks).otherwise(0.0)) * 2.0
-    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    cols = quality_columns(text_col)
     return df.select(
-        F.col(id_col),
-        F.round(len_score, 6).alias("len_score"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(sw_score, 6).alias("stopword_score"),
-        wl_score.alias("wordlen_score"),
-        F.round((len_score + alpha_ratio + sw_score + wl_score) / 4.0, 6).alias(
-            "quality"
-        ),
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 

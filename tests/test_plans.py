@@ -378,3 +378,21 @@ def test_sequence_chunks_has_no_single_partition_window(spark):
         "hashpartitioning", "")  # window rides the bucket hash exchange
     assert "hashpartitioning(bucket" in plan
     assert plans.has_broadcast_join(q)   # prefix offsets ship broadcast
+
+
+def test_corpus_funnel_single_shuffle_family(spark):
+    """The funnel's quality stage must be a fused projection (no
+    self-join): the plan's only wide operations are the dedup digest
+    groupBy + its keep-id join back — and never a cartesian."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    e = importlib.import_module("__spark_entry__")
+    q = e.queries()["corpus_funnel"](spark, "/root/testdata/sf0.001")
+    plan = plans.executed_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one aggregate family (partial+final over the digest), one join back
+    assert plan.count("HashAggregate") <= 4
