@@ -74,11 +74,19 @@ def sequence_chunk_spans(
     span = max(hi - lo + 1, 1)
     # deterministic range bucket: pure function of doc_id and the fixed
     # (lo, span) bounds — identical across the partial-sum job and the
-    # cumsum job, unlike sampled repartitionByRange boundaries
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        ((F.col("doc_id") - F.lit(lo)) * F.lit(n_buckets) / F.lit(span))
-        .cast("long"),
+    # cumsum job, unlike sampled repartitionByRange boundaries.
+    # Float-first: (doc_id-lo)·n_buckets overflows int64 for 60-bit hash
+    # ids; float64 division is monotone non-decreasing in doc_id (all
+    # that bucketing needs) and clamped to [0, n_buckets-1]
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("doc_id") - F.lit(lo)).cast("double")
+                / F.lit(float(span)) * F.lit(n_buckets)
+            ).cast("long"),
+        ),
     )
     with_b = toks.withColumn("bucket", bucket)
 

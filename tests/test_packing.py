@@ -71,3 +71,25 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         # 1000 rows per stratum; binomial 4σ band
         sd = np.sqrt(1000 * frac * (1 - frac))
         assert abs(n - 1000 * frac) <= 4 * sd, (lang, n)
+
+
+def test_sequence_chunks_with_60bit_hash_ids(spark):
+    """Bucket assignment must survive hash-sized (60-bit) doc ids — the
+    production id shape — without int64 overflow: offsets equal the
+    serial oracle and remain contiguous."""
+    base = (1 << 59) + 12345
+    rows = [(base + i * (1 << 40) + (i % 3), f"w{i % 5} " * (5 + i % 9))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_off"])
+        for r in packing.sequence_chunk_spans(docs, 32, n_buckets=7)
+        .collect()
+    }
+    ordered = sorted(
+        (r["doc_id"], len(tokenize_py(r["text"]))) for r in docs.collect()
+    )
+    off = 0
+    for d, n in ordered:
+        assert got[d] == (n, off), d
+        off += n
