@@ -62,8 +62,12 @@ def sequence_chunk_spans(
         F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
 
-    bounds = toks.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    # id bounds come from the RAW table (column-pruned scan of the id
+    # only — no tokenize): bounds of a superset are valid bucket bounds,
+    # so the analyzer runs exactly twice overall (totals pass + final
+    # pass), the floor without materializing the token-count projection
+    bounds = docs.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
     if bounds["lo"] is None:
         return spark.createDataFrame(
