@@ -500,8 +500,8 @@ def _decode_keyed(
         keep = ok[slots]
         if not keep.any():
             return _EMPTY_KEYED
-        if keep.all():
-            keep = None
+        if keep.sum() >= _PRUNE_THRESHOLD * keep.size:
+            keep = None          # near-no-op prune: slicing costs more
 
     raw = b"".join(pdf["positions"])
     if keep is None:
@@ -552,6 +552,42 @@ def _decode_keyed(
 # processes); the local fallback for all-cold queries is the byte-slicing
 # _decode_keyed path unchanged.
 # --------------------------------------------------------------------------
+
+
+# Canonical per-snapshot keying (round 5): when every query term is hot-
+# cached, even the per-query key assembly (lexsort + repeat/mult/add over
+# millions of positions, ~100 ms at 4M positions) can be skipped — each
+# cached term's FULL sorted key array is built once at cache-fill against
+# a snapshot-stable slot space: slot = gid·R + rank(doc) over the
+# corpus's sorted doc enumeration (R docs), key = slot·_CANON_M + pos.
+# Guards (any failure → the existing assembly path, bit-identical):
+#   - corpus ≤ _CANON_MAX_DOCS (the doc enumeration is a coordinator
+#     array — the same per-node bound a Lucene shard lives under);
+#   - every doc length < _CANON_M − margin; key space fits int64;
+#   - entries arrive (gid, doc)-sorted (true for the sorted coordinator
+#     read; verified, not assumed).
+_CANON_M = 1 << 21
+_CANON_MAX_DOCS = 10_000_000
+
+# candidate pre-filters are pure optimizations for the matching cores
+# (a doc missing a required term can never produce a chain/pair); when a
+# filter would keep ≥ this fraction of entries, re-slicing the position
+# streams costs more than it saves, so the full arrays pass through
+_PRUNE_THRESHOLD = 0.98
+
+
+class _CanonLookup:
+    """slot → doc_id view over the canonical slot space (slot = gid·R +
+    rank): supports exactly the fancy-indexing the matching cores use."""
+
+    __slots__ = ("_docs", "_r")
+
+    def __init__(self, docs: np.ndarray):
+        self._docs = docs
+        self._r = docs.size
+
+    def __getitem__(self, idx):
+        return self._docs[np.asarray(idx) % self._r]
 
 
 def _gather_ranges(
@@ -659,7 +695,7 @@ def _keyed_from_parts(
         st = slot_t[t]
         if ok is not None:
             keep = ok[st]
-            if not keep.all():
+            if keep.sum() < _PRUNE_THRESHOLD * keep.size:
                 starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
                 lens = cnts[keep]
                 k = (
@@ -914,6 +950,11 @@ class PositionsReader:
         self._scan_files: dict[str, list] = {}  # DSv2 pinned file lists
         self._df_cache: dict[str, DataFrame] = {}  # resolved-scan reuse
         self._dsv2_ok: bool | None = None
+        # canonical keying (see _CANON_M block): doc enumeration + per-
+        # term prebuilt key arrays, all snapshot-scoped
+        self._doc_ranks: np.ndarray | bool | None = None
+        self._canon_cache: dict[str, tuple] = {}
+        self._entries_cache: dict[str, int] = {}  # term-dictionary memo
 
     def refresh(self) -> None:
         """Re-read the manifest (after new commits/merges)."""
@@ -925,6 +966,9 @@ class PositionsReader:
         self._group_ids.clear()
         self._scan_files = {}
         self._df_cache = {}
+        self._doc_ranks = None
+        self._canon_cache.clear()
+        self._entries_cache = {}
 
     def _positions_datasets(self):
         """Cached pyarrow dataset handles (coordinator path) — mirrors
@@ -960,20 +1004,30 @@ class PositionsReader:
         """Summed ``n_docs`` per term across active segments — the
         term-dictionary lookup that drives the local/distributed split.
         Reads only the (term, n_docs) columns of the query terms' row
-        groups (predicate pushdown on the sorted term column)."""
+        groups (predicate pushdown on the sorted term column); results
+        memoized per manifest snapshot (a repeated hot query must not
+        re-pay the dictionary scan)."""
         import pyarrow.dataset as pads
 
-        out: dict[str, int] = dict.fromkeys(terms, 0)
-        for dset, names in self._positions_datasets():
-            flt = pads.field("term").isin(terms)
-            if names is not None:
-                flt = flt & pads.field("seg").isin(names)
-            tbl = dset.to_table(columns=["term", "n_docs"], filter=flt)
-            for t, n in zip(
-                tbl["term"].to_pylist(), tbl["n_docs"].to_pylist(), strict=True
-            ):
-                out[t] += int(n)
-        return {t: n for t, n in out.items() if n > 0}
+        missing = [t for t in terms if t not in self._entries_cache]
+        if missing:
+            out: dict[str, int] = dict.fromkeys(missing, 0)
+            for dset, names in self._positions_datasets():
+                flt = pads.field("term").isin(missing)
+                if names is not None:
+                    flt = flt & pads.field("seg").isin(names)
+                tbl = dset.to_table(columns=["term", "n_docs"], filter=flt)
+                for t, n in zip(
+                    tbl["term"].to_pylist(), tbl["n_docs"].to_pylist(),
+                    strict=True,
+                ):
+                    out[t] += int(n)
+            self._entries_cache.update(out)
+        return {
+            t: self._entries_cache[t]
+            for t in terms
+            if self._entries_cache.get(t, 0) > 0
+        }
 
     def _local_rows(self, terms: list[str]) -> pd.DataFrame:
         """Coordinator-side scatter-gather of the query terms' rows."""
@@ -1017,6 +1071,136 @@ class PositionsReader:
                 gids[key] = g
             out[i] = g
         return out
+
+    def _canon_ready(self) -> bool:
+        """Lazily build the corpus doc enumeration for canonical keying —
+        one coordinator pyarrow read of the docs stores' doc_id column,
+        disabled (False) above _CANON_MAX_DOCS."""
+        if self._doc_ranks is False:
+            return False
+        if self._doc_ranks is None:
+            n_docs = self._stats[0]
+            if n_docs == 0 or n_docs > _CANON_MAX_DOCS:
+                self._doc_ranks = False
+                return False
+            import pyarrow.dataset as pads
+
+            parts_list = []
+            for m in self._segments:
+                root = (
+                    f"{m.path}/docs.parquet/seg={m.name}"
+                    if m.path
+                    else f"{self.store.segment_path(m.name)}/docs.parquet"
+                )
+                try:
+                    dset = pads.dataset(root, format="parquet")
+                except FileNotFoundError:
+                    self._doc_ranks = False
+                    return False
+                parts_list.append(
+                    dset.to_table(columns=["doc_id"])["doc_id"]
+                    .to_numpy(zero_copy_only=False)
+                )
+            self._doc_ranks = np.unique(
+                np.concatenate(parts_list).astype(np.int64)
+            )
+        return True
+
+    def _canon_entry(self, t: str) -> tuple | None:
+        """(sorted entry slots, full sorted keys) for a cached term under
+        the canonical slot space — None when any guard fails (caller
+        falls back to the per-query assembly, which is always valid)."""
+        c = self._canon_cache.get(t)
+        if c is not None:
+            return c
+        p = self._term_cache.get(t)
+        if p is None:
+            return None
+        gid, ids, cnts, pos = p
+        if ids.size == 0:
+            return None
+        if pos.size and int(pos.max()) >= _CANON_M - _KEY_MARGIN - 2:
+            return None
+        ranks = self._doc_ranks
+        r = ranks.size
+        idx = np.searchsorted(ranks, ids)
+        if (idx >= r).any() or (ranks[np.minimum(idx, r - 1)] != ids).any():
+            return None          # doc outside the enumeration snapshot
+        if (int(gid.max()) + 1) * r * _CANON_M >= (1 << 62):
+            return None          # key space would overflow int64
+        slot = gid * r + idx
+        if slot.size > 1 and not (slot[1:] >= slot[:-1]).all():
+            return None          # entries not (gid, doc)-sorted
+        keys = np.repeat(slot, cnts) * _CANON_M + pos
+        out = (slot, keys)
+        # canonical keys live under the SAME memory cap as the decoded
+        # parts (they are positions-sized); evicted alongside their term
+        need = int(slot.size) + int(keys.size)
+        if self._cache_values + need > self.cache_max_values:
+            return None
+        self._canon_cache[t] = out
+        self._cache_values += need
+        return out
+
+    def _keyed_canonical(
+        self,
+        uniq: list[str],
+        required_all: list[str] | None,
+        required_any: list[str] | None,
+    ):
+        """All-hot fast path: every term's sorted keys are precomputed,
+        so an unpruned query (the hot-hot phrase case) does ZERO per-
+        position work before the matching core; pruned queries reuse the
+        canonical slots (no lexsort) and byte-gather only survivors.
+        Returns None when any term can't be canonically keyed."""
+        canon: dict[str, tuple] = {}
+        for t in uniq:
+            c = self._canon_entry(t)
+            if c is None:
+                return None
+            canon[t] = c
+        ok_slots = None
+        for t in required_all or []:
+            s = canon[t][0]
+            ok_slots = s if ok_slots is None else _isect_sorted(ok_slots, s)
+            if ok_slots.size == 0:
+                return _EMPTY_KEYED
+        if required_any:
+            u = None
+            for t in required_any:
+                if t in canon:
+                    s = canon[t][0]
+                    u = s if u is None else np.union1d(u, s)
+            if u is None or u.size == 0:
+                return _EMPTY_KEYED
+            ok_slots = u if ok_slots is None else _isect_sorted(ok_slots, u)
+            if ok_slots.size == 0:
+                return _EMPTY_KEYED
+        out: dict[str, np.ndarray] = {}
+        for t in uniq:
+            slot, keys = canon[t]
+            if ok_slots is None:
+                out[t] = keys
+                continue
+            at = np.searchsorted(ok_slots, slot)
+            keep = (at < ok_slots.size) & (
+                ok_slots[np.minimum(at, ok_slots.size - 1)] == slot
+            )
+            # the required_all/any pre-filter is a pure optimization for
+            # the matching cores (a doc missing a required term can never
+            # chain/pair) — when it barely prunes, gathering 99% of the
+            # positions costs more than it saves, so pass keys whole
+            if keep.sum() >= _PRUNE_THRESHOLD * keep.size:
+                out[t] = keys
+            else:
+                _g, _i, cnts, pos = self._term_cache[t]
+                starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+                lens = cnts[keep]
+                out[t] = (
+                    np.repeat(slot[keep], lens) * _CANON_M
+                    + _gather_ranges(pos, starts[keep], lens)
+                )
+        return out, _CanonLookup(self._doc_ranks), _CANON_M
 
     def _parts_size(self, p: tuple) -> int:
         return int(p[1].size) * 3 + int(p[3].size)
@@ -1071,8 +1255,20 @@ class PositionsReader:
                             self._cache_values -= self._parts_size(
                                 self._term_cache.pop(old)
                             )
+                            oc = self._canon_cache.pop(old, None)
+                            if oc is not None:
+                                self._cache_values -= (
+                                    int(oc[0].size) + int(oc[1].size)
+                                )
                         self._term_cache[t] = p
                         self._cache_values += need
+        if (
+            all(t in self._term_cache for t in uniq)
+            and self._canon_ready()
+        ):
+            fast = self._keyed_canonical(uniq, required_all, required_any)
+            if fast is not None:
+                return fast
         return _keyed_from_parts(
             parts, required_all=required_all, required_any=required_any
         )

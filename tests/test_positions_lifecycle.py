@@ -406,3 +406,50 @@ def test_sloppy_phrase_semantics(spark, tmp_path):
     pr2 = PositionsReader(spark, d2)
     assert _ids(pr2.sloppy_phrase_docs("alpha", "alpha", 0)) == [1]
     assert _ids(pr2.sloppy_phrase_docs("alpha", "alpha", 1)) == [1, 2]
+
+
+def test_canonical_key_cache_parity(spark, tmp_path):
+    """Round-5 canonical keying: with every query term hot-cached, the
+    prebuilt-key fast path must return exactly what the per-query
+    assembly returns — across phrase, NEAR (ordered/unordered), sloppy,
+    span_first, prefix expansion, and phrase-BM25 — including after a
+    merge-invalidating refresh and with pre-reconcile duplicate docs."""
+    d, cfg = _build(spark, tmp_path, num_segments=2)
+    fast = PositionsReader(spark, d)
+    fast.hot_min_entries = 0            # cache every term
+    slow = PositionsReader(spark, d)
+    slow.hot_min_entries = 0
+    slow._canon_ready = lambda: False   # force per-query assembly
+
+    def probe(pr):
+        out = {
+            "phrase": pr.phrase_match_ids("alpha beta"),
+            "phrase3": pr.phrase_match_ids("alpha beta gamma"),
+            "near": pr.near_match_ids("alpha", "gamma", slop=3),
+            "near_ord": pr.near_match_ids("alpha", "gamma", slop=3,
+                                          ordered=True),
+            "self_near": pr.near_match_ids("beta", "beta", slop=2),
+            "sloppy": _ids(pr.sloppy_phrase_docs("alpha", "beta", slop=1)),
+            "span": _ids(pr.span_first_docs("beta", 2)),
+            "topk": [(r["doc_id"], r["score"])
+                     for r in pr.phrase_topk("alpha beta", k=5).collect()],
+        }
+        return out
+
+    a1, b1 = probe(fast), probe(slow)
+    assert a1 == b1
+    # second pass: everything hot on both readers (warm parity)
+    assert probe(fast) == probe(slow) == a1
+    assert fast._canon_cache            # the fast path actually engaged
+
+    # pre-reconcile duplicate: re-ingest doc 2 into a NEW segment with
+    # different text; both readers must agree (refresh drops all caches)
+    docs = spark.createDataFrame([(2, "alpha beta zeta")],
+                                 "doc_id long, text string")
+    build_index(spark, docs, d, cfg, content_col="text",
+                doc_id_col="doc_id")
+    fast.refresh()
+    slow.refresh()
+    slow._canon_ready = lambda: False
+    a2, b2 = probe(fast), probe(slow)
+    assert a2 == b2
