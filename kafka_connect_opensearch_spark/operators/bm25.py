@@ -79,6 +79,13 @@ class IndexReader:
         self._scan_files: dict[str, list] = {}  # DSv2 pinned file lists
         self._df_cache: dict[str, DataFrame] = {}  # resolved-scan reuse
         self._dsv2_ok: bool | None = None
+        # per-snapshot memos for the coordinator query path: term → df
+        # (dictionary lookups) and term → packed postings rows (the
+        # pyarrow fetch) — both cleared wholesale on refresh()
+        self._stats_cache: dict[str, int] = {}
+        self._rows_cache: dict[str, pd.DataFrame] = {}
+        self._rows_bytes = 0
+        self.rows_cache_max_bytes = 512 * 1024 * 1024
 
     def refresh(self) -> None:
         """Re-read the manifest (after new commits/merges)."""
@@ -87,6 +94,9 @@ class IndexReader:
         self._datasets = None
         self._scan_files = {}
         self._df_cache = {}
+        self._stats_cache = {}
+        self._rows_cache = {}
+        self._rows_bytes = 0
 
     def _postings_datasets(self):
         """Cached pyarrow datasets for the coordinator paths — dataset
@@ -178,21 +188,30 @@ class IndexReader:
         (Lucene reads its term dictionary the same way), so it uses a
         direct pyarrow scan with predicate pushdown on the sorted ``term``
         column instead of a Spark job: only the (term, df) columns of the
-        row groups containing the query terms are read.
+        row groups containing the query terms are read. Results memoize
+        per manifest snapshot (repeated queries skip the scan).
         """
         import pyarrow.dataset as pads
 
-        out: dict[str, int] = dict.fromkeys(terms, 0)
-        for dset, names in self._postings_datasets():
-            flt = pads.field("term").isin(terms)
-            if names is not None:
-                flt = flt & pads.field("seg").isin(names)
-            tbl = dset.to_table(columns=["term", "df"], filter=flt)
-            for t, d in zip(
-                tbl["term"].to_pylist(), tbl["df"].to_pylist(), strict=True
-            ):
-                out[t] += int(d)
-        return {t: n for t, n in out.items() if n > 0}
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            out: dict[str, int] = dict.fromkeys(missing, 0)
+            for dset, names in self._postings_datasets():
+                flt = pads.field("term").isin(missing)
+                if names is not None:
+                    flt = flt & pads.field("seg").isin(names)
+                tbl = dset.to_table(columns=["term", "df"], filter=flt)
+                for t, d in zip(
+                    tbl["term"].to_pylist(), tbl["df"].to_pylist(),
+                    strict=True,
+                ):
+                    out[t] += int(d)
+            self._stats_cache.update(out)
+        return {
+            t: self._stats_cache[t]
+            for t in terms
+            if self._stats_cache.get(t, 0) > 0
+        }
 
     def search(
         self,
@@ -1352,20 +1371,66 @@ class IndexReader:
     def _local_topk(self, terms: list[str], scorer, k: int):
         """Coordinator-side scatter-gather: pyarrow-filtered postings scan
         → per-segment numpy scoring (same function as the distributed
-        path) → global top-k merge."""
+        path) → global top-k merge. Fetched rows memoize per term under a
+        byte cap (repeated hot queries skip the scan; the packed blobs
+        are immutable per snapshot, so reuse is free)."""
         import pyarrow.dataset as pads
 
-        parts = []
-        for dset, names in self._postings_datasets():
-            flt = pads.field("term").isin(terms)
-            if names is not None:
-                flt = flt & pads.field("seg").isin(names)
-            tbl = dset.to_table(filter=flt)
-            if tbl.num_rows:
-                parts.append(tbl.to_pandas())
-        if not parts:
+        def _blob_bytes(frame: pd.DataFrame) -> int:
+            if not len(frame):
+                return 0
+            return int(sum(
+                len(b)
+                for col in ("doc_ids", "tfs", "dls", "block_max")
+                for b in frame[col]
+            ))
+
+        frames: dict[str, pd.DataFrame] = {}
+        missing = []
+        for t in terms:
+            hit = self._rows_cache.get(t)
+            if hit is not None:
+                frames[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            parts = []
+            for dset, names in self._postings_datasets():
+                flt = pads.field("term").isin(missing)
+                if names is not None:
+                    flt = flt & pads.field("seg").isin(names)
+                tbl = dset.to_table(filter=flt)
+                if tbl.num_rows:
+                    parts.append(tbl.to_pandas())
+            fetched = (
+                pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame()
+            )
+            for t in missing:
+                sub = (
+                    fetched[fetched["term"] == t].reset_index(drop=True)
+                    if len(fetched)
+                    else fetched
+                )
+                frames[t] = sub
+                nbytes = _blob_bytes(sub)
+                if nbytes > self.rows_cache_max_bytes:
+                    continue          # too big to cache; still used below
+                while (
+                    self._rows_cache
+                    and self._rows_bytes + nbytes
+                    > self.rows_cache_max_bytes
+                ):
+                    old = next(iter(self._rows_cache))
+                    self._rows_bytes -= _blob_bytes(
+                        self._rows_cache.pop(old)
+                    )
+                self._rows_cache[t] = sub
+                self._rows_bytes += nbytes
+        nonempty = [f for f in frames.values() if len(f)]
+        if not nonempty:
             return []
-        allrows = pd.concat(parts, ignore_index=True)
+        allrows = pd.concat(nonempty, ignore_index=True)
         outs = [scorer(g) for _, g in allrows.groupby("seg", sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
