@@ -1368,12 +1368,12 @@ class IndexReader:
             .limit(k)
         )
 
-    def _local_topk(self, terms: list[str], scorer, k: int):
-        """Coordinator-side scatter-gather: pyarrow-filtered postings scan
-        → per-segment numpy scoring (same function as the distributed
-        path) → global top-k merge. Fetched rows memoize per term under a
-        byte cap (repeated hot queries skip the scan; the packed blobs
-        are immutable per snapshot, so reuse is free)."""
+    def _fetch_rows(self, terms: list[str]) -> dict[str, pd.DataFrame]:
+        """Per-term packed postings rows, memoized per manifest snapshot
+        under a byte cap (FIFO eviction; an over-cap term is fetched but
+        not cached). The packed blobs are immutable per snapshot, so
+        reuse is free — this is the coordinator analog of Lucene keeping
+        its hot postings pages resident."""
         import pyarrow.dataset as pads
 
         def _blob_bytes(frame: pd.DataFrame) -> int:
@@ -1415,7 +1415,7 @@ class IndexReader:
                 frames[t] = sub
                 nbytes = _blob_bytes(sub)
                 if nbytes > self.rows_cache_max_bytes:
-                    continue          # too big to cache; still used below
+                    continue          # too big to cache; still usable
                 while (
                     self._rows_cache
                     and self._rows_bytes + nbytes
@@ -1427,6 +1427,13 @@ class IndexReader:
                     )
                 self._rows_cache[t] = sub
                 self._rows_bytes += nbytes
+        return frames
+
+    def _local_topk(self, terms: list[str], scorer, k: int):
+        """Coordinator-side scatter-gather: memoized postings fetch →
+        per-segment numpy scoring (same function as the distributed
+        path) → global top-k merge."""
+        frames = self._fetch_rows(terms)
         nonempty = [f for f in frames.values() if len(f)]
         if not nonempty:
             return []
@@ -1443,13 +1450,36 @@ class IndexReader:
             (int(ids[i]), float(scores[i])) for i in order
         ]
 
-    def match_count(self, query: str, mode: str = "or") -> int:
-        """Number of matching docs (D7) without scoring."""
+    def match_count(
+        self,
+        query: str,
+        mode: str = "or",
+        local_threshold: int = 2_000_000,
+    ) -> int:
+        """Number of matching docs (D7) without scoring — the same
+        adaptive split as :meth:`search`: under ``local_threshold``
+        summed postings the count runs coordinator-local over the (row-
+        cached) postings with the identical per-segment counter; above
+        it, distributed per segment (segments are doc-disjoint, so the
+        counts sum)."""
         qterms = sorted(set(tokenize_py(query)))
         if not qterms:
             return 0
-        p = self.postings(qterms)
         counter = _make_segment_counter(qterms, mode)
+        dfs = self.term_stats(qterms)
+        if mode == "and" and any(t not in dfs for t in qterms):
+            return 0
+        if not dfs:
+            return 0
+        if sum(dfs.values()) <= local_threshold:
+            total = 0
+            rows = self._local_rows(sorted(dfs))
+            if rows is None or not len(rows):
+                return 0
+            for _, g in rows.groupby("seg", sort=False):
+                total += int(counter(g)["n"].iloc[0])
+            return total
+        p = self.postings(qterms)
         out = (
             p.groupBy("seg")
             .applyInPandas(counter, schema="n long")
@@ -1457,6 +1487,14 @@ class IndexReader:
             .collect()[0]
         )
         return int(out["n"])
+
+    def _local_rows(self, terms: list[str]) -> pd.DataFrame | None:
+        """Concatenated memoized rows of ``terms`` (shared _fetch_rows
+        cache)."""
+        frames = [f for f in self._fetch_rows(terms).values() if len(f)]
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
 
 
 _NO_MATCH_POS = 1 << 31
