@@ -961,3 +961,15 @@ def test_multi_match_best_fields_is_dis_max_of_field_queries(spark,
         [field_query("a", "return import")], k=5, tie_breaker=0.25
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_match_count_local_equals_distributed(spark, index_dir):
+    """The coordinator match_count fast path must equal the per-segment
+    Spark path exactly, for OR/AND/missing-term shapes."""
+    reader = IndexReader(spark, index_dir)
+    for q, m in [("return import", "or"), ("return import", "and"),
+                 ("ident_1 ident_2", "and"), ("nosuchtoken_xyz", "or"),
+                 ("ident_5 nosuchtoken_xyz", "and")]:
+        local = reader.match_count(q, m)
+        dist = reader.match_count(q, m, local_threshold=0)
+        assert local == dist, (q, m, local, dist)
