@@ -286,6 +286,22 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANALYZE_TEXT = "Spark-Streams: BM25_scoring, 2024 edition!"
+
+
+def q_analyze_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch _analyze: the analyzer's (token, position) output for
+    a given text — the API clients use to debug mappings. One row per
+    token, positions 1-based, exactly the engine's single analyzer
+    (lowercase + [a-z0-9_]+ extraction)."""
+    from kafka_connect_opensearch_spark.functions.analysis import tokenize
+
+    df = spark.createDataFrame([(ANALYZE_TEXT,)], "text string")
+    return df.select(
+        F.posexplode(tokenize(F.col("text"))).alias("position", "token")
+    ).select(F.col("token"), (F.col("position") + 1).alias("position"))
+
+
 TV_DOC_ID = 7           # _termvectors target doc
 
 
@@ -1473,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation (VERDICT r4 #9): the 33 entries without an
         # r4 driver row plus every query whose engine/oracle changed
         # this round lead the dict — the driver report caps at 50
+        "analyze_text": q_analyze_text,
         "term_vectors": q_term_vectors,
         "percolate_matches": q_percolate_matches,
         "search_highlight_multi": q_search_highlight_multi,
@@ -2209,6 +2226,11 @@ SELECT term, damerau_levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance, df
 FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
+""",
+        "analyze_text": f"""
+SELECT unnest({_toks_sql(f"'{ANALYZE_TEXT}'")}) AS token,
+       generate_subscripts({_toks_sql(f"'{ANALYZE_TEXT}'")}, 1)::BIGINT
+         AS position
 """,
         "term_vectors": f"""
 WITH toks AS (
