@@ -704,6 +704,42 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _get_source_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Tiny per-field index over the ``source`` column alone — the
+    per-field-statistics half of true multi_match (each field is its own
+    index, so dl/avgdl/df are field-local, exactly Lucene's per-field
+    stats)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = os.path.join(_INDEX_ROOT, f"srcfield_{tag}")
+    cfg = EngineConfig(num_segments=1, salt_partitions=2,
+                       shuffle_partitions=4)
+    build_index(
+        spark, _read(spark, sf_dir, "documents"), idx_dir, cfg,
+        content_col="source", doc_id_col="doc_id",
+    )
+    return IndexReader(spark, idx_dir)
+
+
+def q_multi_match_per_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields with TRUE per-field statistics: each
+    field is scored over its OWN index (field-local dl/avgdl/df — the
+    Lucene semantics; the fielded-prefix variant `multi_match_topk`
+    documents its combined-stats divergence), combined with the same
+    dis_max formula across the per-field frames."""
+    from kafka_connect_opensearch_spark.operators.bm25 import (
+        dis_max_frames,
+    )
+
+    body = _get_index(spark, sf_dir)
+    src = _get_source_index(spark, sf_dir)
+    frames = [
+        body.score_matches(MM_TEXT, "or"),
+        src.score_matches(MM_TEXT, "or"),
+    ]
+    res = dis_max_frames(spark, frames, k=10, tie_breaker=MM_TIE)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 MM_TEXT = "src3 hash"       # multi_match text (cross-field relevance)
 MM_FIELDS = ["body", "source"]
 MM_TIE = 0.25               # dyadic: float parity across engines
@@ -1489,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation (VERDICT r4 #9): the 33 entries without an
         # r4 driver row plus every query whose engine/oracle changed
         # this round lead the dict — the driver report caps at 50
+        "multi_match_per_field": q_multi_match_per_field,
         "analyze_text": q_analyze_text,
         "term_vectors": q_term_vectors,
         "percolate_matches": q_percolate_matches,
@@ -1652,6 +1689,52 @@ tf AS (
 df AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
 )"""
+
+
+def _multi_match_per_field_sql() -> str:
+    """True-per-field-statistics twin: one BM25 CTE per FIELD CORPUS
+    (text / source token streams, field-local dl/avgdl/df), combined
+    with the dis_max formula."""
+    terms = sorted(set(MM_TEXT.split()))
+    values = ", ".join(f"('{t}', 1.0)" for t in terms)
+
+    def field_scores(alias: str, toks_expr: str) -> str:
+        return f"""
+{alias} AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))) AS raw
+  FROM (
+    SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM (
+      SELECT doc_id, unnest(toks) AS term, len(toks)::DOUBLE AS dl
+      FROM (SELECT doc_id, {toks_expr} AS toks FROM documents)
+    ) GROUP BY 1, 2, 3
+  ) tf
+  JOIN (VALUES {values}) q(term, qtf) ON tf.term = q.term
+  JOIN (
+    SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM (
+      SELECT doc_id, unnest({toks_expr}) AS term FROM documents
+    ) GROUP BY term
+  ) df ON df.term = tf.term
+  CROSS JOIN (
+    SELECT count(*)::DOUBLE AS n,
+           avg(len({toks_expr})::DOUBLE) AS avgdl
+    FROM documents
+  ) s
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH {field_scores("s0", _toks_sql("text")).strip().removeprefix("")}
+,{field_scores("s1", _toks_sql("source")).strip()}
+, u AS (SELECT doc_id, raw FROM s0 UNION ALL SELECT doc_id, raw FROM s1),
+agg AS (SELECT doc_id, max(raw) AS mx, sum(raw) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id, round(final, 4) AS score FROM (
+  SELECT doc_id, mx + {MM_TIE} * (sm - mx) AS final FROM agg
+  ORDER BY final DESC, doc_id ASC LIMIT 10
+) t
+"""
 
 
 def _multi_match_sql() -> str:
@@ -2227,6 +2310,7 @@ FROM cand
 WHERE term != '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 3
 """,
+        "multi_match_per_field": _multi_match_per_field_sql(),
         "analyze_text": f"""
 SELECT unnest({_toks_sql(f"'{ANALYZE_TEXT}'")}) AS token,
        generate_subscripts({_toks_sql(f"'{ANALYZE_TEXT}'")}, 1)::BIGINT

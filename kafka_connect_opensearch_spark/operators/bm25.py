@@ -644,19 +644,8 @@ class IndexReader:
         frames = [self.score_matches(q, mode) for q in queries if q.strip()]
         if not frames:
             return empty
-        u = frames[0]
-        for f in frames[1:]:
-            u = u.unionByName(f)
-        final = F.col("mx") + F.lit(float(tie_breaker)) * (
-            F.col("sm") - F.col("mx")
-        )
-        return (
-            u.groupBy("doc_id")
-            .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
-            .select("doc_id", final.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return dis_max_frames(self.spark, frames, k=k,
+                              tie_breaker=tie_breaker)
 
     def function_score_field(
         self,
@@ -2173,6 +2162,34 @@ def brute_force_bm25(
     order = np.lexsort((ids[idx], -scores[idx]))[:k]
     sel = idx[order]
     return pd.DataFrame({"doc_id": ids[sel], "score": scores[sel]})
+
+
+def dis_max_frames(
+    spark,
+    frames: list,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> "DataFrame":
+    """The dis_max combine over arbitrary (doc_id, score) frames: best +
+    tie_breaker·(sum − best), deterministic (score desc, doc_id) top-k.
+    Shared by :meth:`IndexReader.search_dis_max` (sub-queries on one
+    index) and per-field-INDEX multi_match (frames from different
+    indexes — OpenSearch's true per-field statistics semantics)."""
+    if not frames:
+        return spark.createDataFrame([], "doc_id long, score double")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    final = F.col("mx") + F.lit(float(tie_breaker)) * (
+        F.col("sm") - F.col("mx")
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
+        .select("doc_id", final.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def search_across(
