@@ -421,3 +421,14 @@ def test_skip_prune_actually_prunes_and_rebases():
         assert list(got["doc_id"]) == [rare_doc]
     finally:
         _P._SKIP_BLOCK = orig
+
+
+def test_slots_of_pow2_equals_division():
+    """The bitshift specialization must equal plain floor division for
+    pow2 and fall back exactly for non-pow2 M."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 55, size=5000).astype(np.int64)
+    for m in (1 << 21, 1 << 10, 2, 1000, 12345, 3):
+        assert np.array_equal(_P._slots_of(keys, m), keys // m), m
