@@ -70,6 +70,21 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on a unique key to the session's core count.
+
+    The testdata tables are single-row-group parquet files, so their scans
+    arrive as ONE task regardless of cluster size (a row group cannot be
+    split); every downstream per-row projection would otherwise run
+    serially (guide §2/§6). One cheap exchange of the narrow input rows
+    buys full-width parallelism for the heavy work above it. Sized from
+    ``defaultParallelism`` (cores on local[N], executor cores on a
+    cluster) — never a constant. Hash (not round-robin) partitioning on a
+    unique key avoids the sort-before-repartition pass and is
+    deterministic under retries."""
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+
+
 # --- flagship index (memoized per sf dir; resume makes rebuilds no-ops) ----
 
 _INDEX_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes")
@@ -972,25 +987,28 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.token_counts(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return ts.token_counts(docs, "text", "doc_id")
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.language_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return ts.language_id(docs, "text", "doc_id")
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.quality_score(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return ts.quality_score(docs, "text", "doc_id")
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.tfidf_top_terms(
-        _read(spark, sf_dir, "documents"), "text", "doc_id", k=3
-    )
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return ts.tfidf_top_terms(docs, "text", "doc_id", k=3)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return ts.fingerprint(docs, "text", "doc_id")
 
 
 def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,25 +1028,28 @@ def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return dedup.exact_dedup(docs, "text", "doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
     return dedup.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id",
-        n=3, threshold=JACCARD_THRESHOLD,
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD,
     )
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
     return dedup.minhash_lsh_dedup(
-        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        docs, "text", "doc_id",
         n=3, num_hashes=16, bands=4, threshold=JACCARD_THRESHOLD,
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
+    return dedup.simhash(docs, "text", "doc_id")
 
 
 SIMHASH_MAX_DIST = 8
@@ -1038,9 +1059,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded (pigeonhole) SimHash near-dup join — the oracle computes the
     same pair set by brute-force all-pairs, so the banding's exactness is
     what's verified."""
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
     return dedup.simhash_near_dup_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id",
-        max_distance=SIMHASH_MAX_DIST,
+        docs, "text", "doc_id", max_distance=SIMHASH_MAX_DIST,
     )
 
 
@@ -1173,7 +1194,7 @@ def q_tombstone_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_connect_opensearch_spark.operators.convert import route_records
 
-    ev = _read(spark, sf_dir, "events").withColumn(
+    ev = _spread(spark, _read(spark, sf_dir, "events"), "event_id").withColumn(
         "payload",
         F.when(F.col("event_type") != "error", F.col("props")),
     )
@@ -1203,7 +1224,7 @@ def q_malformed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_doc_key,
     )
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _spread(spark, _read(spark, sf_dir, "events"), "event_id")
     t = ev.select(
         F.when(F.col("event_id") % 13 == 0, F.lit(None))
         .when(F.col("event_id") % 17 == 0, F.expr("repeat('k', 600)"))

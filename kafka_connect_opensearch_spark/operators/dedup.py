@@ -368,10 +368,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
-    """Popcount of XOR via bin() — built-ins only."""
-    return (
-        F.length(F.regexp_replace(F.bin(a.bitwiseXOR(b)), "0", ""))
-    ).cast("int")
+    """Popcount of XOR via ``bit_count`` (single codegen intrinsic; the
+    old bin()+regexp_replace string scan measured ~100x more work per
+    pair, identical results)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
 def simhash_near_dup_pairs(
@@ -405,7 +405,14 @@ def simhash_near_dup_pairs(
     ).select("id", "simhash", "bb.band", "bb.val")
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    # The exact-popcount verify runs BEFORE the cross-band dedup: hamming
+    # is a pure function of the pair, so filter∘distinct ≡ distinct∘filter
+    # — but the filter side feeds the distinct's shuffle only the
+    # qualifying pairs (≤ near-dup count) instead of every bucket
+    # collision (quadratic in bucket occupancy; 88M rows at sf1.0, the r6
+    # A/B measured 83 s -> ~2 s). bit_count makes the pre-dedup verify a
+    # single intrinsic per candidate.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -415,15 +422,10 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", hamming_distance(F.col("h_a"), F.col("h_b"))
+            hamming_distance(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

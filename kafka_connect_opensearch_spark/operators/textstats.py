@@ -39,18 +39,26 @@ def stopword_hits(tokens: Column, words: list[str]) -> Column:
 def stopword_hits_text(text: Column, words: list[str]) -> Column:
     """Multiset stopword count straight off the text, whole-stage codegen.
 
-    Equivalent to ``stopword_hits(tokenize(text), words)``: separators
-    (the complement of the analyzer charset ``[a-z0-9_]``) collapse to a
-    DOUBLE space so adjacent tokens never share a delimiter, then one
-    ``regexp_count`` over the space-flanked alternation counts
-    non-overlapping whole-token matches. No lookarounds, so the same
-    pattern runs identically under Java regex and RE2/DuckDB."""
-    padded = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.lower(text), "[^a-z0-9_]+", "  "),
-        F.lit(" "),
-    )
-    return F.regexp_count(padded, F.lit(" (" + "|".join(words) + ") "))
+    Equivalent to ``stopword_hits(tokenize(text), words)``: one
+    ``regexp_count`` of the alternation flanked by zero-width token
+    boundaries (lookarounds on the analyzer charset ``[a-z0-9_]``), so a
+    match is exactly a whole token equal to a stopword. The previous
+    formulation materialized an intermediate double-spaced copy of the
+    text via ``regexp_replace``; that pass alone measured ~20x slower
+    than this one under local[32] concurrency (r6 A/B, regexp_replace
+    throughput collapses with parallel callers), and results are
+    bit-identical. Lookarounds are Java-regex-side only; oracles keep
+    their own portable SQL."""
+    pat = "(?<![a-z0-9_])(" + "|".join(words) + ")(?![a-z0-9_])"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+# The 62 chars counted by the quality alpha-ratio ([A-Za-z0-9]); a
+# ``translate`` deletion over this set replaces the regexp_replace scan
+# (same r6 A/B: 2.3 s -> 0.14 s at sf1.0/local[32], identical counts).
+_ALNUM_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -88,7 +96,9 @@ def quality_columns(text_col: str) -> dict[str, "F.Column"]:
     text = F.col(text_col)
     toks = tokenize(text_col)
     n_chars = F.length(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+    alpha = (
+        F.length(text) - F.length(F.translate(text, _ALNUM_CHARS, ""))
+    ).cast("double")
     n_toks = F.size(toks).cast("double")
     sw = stopword_hits_text(text, LANG_STOPWORDS["en"]).cast("double")
     mean_wl = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
