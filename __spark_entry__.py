@@ -1028,8 +1028,11 @@ def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
-    return dedup.exact_dedup(docs, "text", "doc_id")
+    # no _spread here: sha2 is cheap enough that the single-task scan
+    # beats shuffling the full text just to parallelize it (r6 A/B:
+    # 0.48 s -> 0.88 s with the spread); the digest groupBy's own
+    # exchange carries only (id, digest)
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,7 +1175,12 @@ def q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (ties → highest event_id)."""
     from pyspark.sql import Window
 
-    ev = _read(spark, sf_dir, "events")
+    # explicit exchange on the window key: AQE otherwise coalesces the
+    # window's shuffle by bytes (the rows are narrow) and serializes the
+    # sort+row_number onto a couple of tasks (r6 A/B: 1.24 s -> ~0.5 s)
+    ev = _read(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -1260,7 +1268,9 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's earliest order (full-outer + coalesce field merge)."""
     from pyspark.sql import Window
 
-    orders = _read(spark, sf_dir, "orders")
+    orders = _read(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism, "o_custkey"
+    )
     w_old = Window.partitionBy("o_custkey").orderBy(
         F.asc("o_orderdate"), F.asc("o_orderkey")
     )
@@ -1411,7 +1421,11 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = _read(spark, sf_dir, "orders")
+    # explicit window-key exchange — see q_latest_wins (AQE byte-based
+    # coalescing serializes the window sort; r6 A/B: 1.44 s -> 0.57 s)
+    orders = _read(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism, "o_custkey"
+    )
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )

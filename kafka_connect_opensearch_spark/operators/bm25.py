@@ -86,6 +86,23 @@ class IndexReader:
         self._rows_cache: dict[str, pd.DataFrame] = {}
         self._rows_bytes = 0
         self.rows_cache_max_bytes = 512 * 1024 * 1024
+        # restrict-id broadcasts created by the distributed filtered
+        # paths; unpersisted (NOT destroyed — executors refetch from the
+        # driver copy if a lazy plan still needs one) on refresh and
+        # beyond a small cap, so a long-lived reader session does not
+        # accumulate executor-side broadcast blocks.
+        self._live_broadcasts: list = []
+        self.broadcast_cache_max = 32
+
+    def _track_broadcast(self, bc):
+        self._live_broadcasts.append(bc)
+        while len(self._live_broadcasts) > self.broadcast_cache_max:
+            old = self._live_broadcasts.pop(0)
+            try:
+                old.unpersist()
+            except Exception:  # already released / context gone
+                pass
+        return bc
 
     def refresh(self) -> None:
         """Re-read the manifest (after new commits/merges)."""
@@ -97,6 +114,12 @@ class IndexReader:
         self._stats_cache = {}
         self._rows_cache = {}
         self._rows_bytes = 0
+        for bc in self._live_broadcasts:
+            try:
+                bc.unpersist()
+            except Exception:
+                pass
+        self._live_broadcasts = []
 
     def _postings_datasets(self):
         """Cached pyarrow datasets for the coordinator paths — dataset
@@ -381,7 +404,9 @@ class IndexReader:
             weights, must_t, not_present, avgdl, self.k1, self.b, k,
             self.block_size,
             restrict_ids=(
-                self.spark.sparkContext.broadcast(restrict)
+                self._track_broadcast(
+                    self.spark.sparkContext.broadcast(restrict)
+                )
                 if restrict is not None else None
             ),
         )
@@ -461,7 +486,9 @@ class IndexReader:
             # distributed: ship the id array ONCE per executor
             scorer = _make_segment_scorer(
                 weights, avgdl, self.k1, self.b, k, mode, self.block_size,
-                restrict_ids=self.spark.sparkContext.broadcast(allowed),
+                restrict_ids=self._track_broadcast(
+                    self.spark.sparkContext.broadcast(allowed)
+                ),
             )
             out = (
                 self.postings([t for t, _ in qterms])
@@ -1823,10 +1850,11 @@ def parse_min_should_match(spec: str | int, n_optional: int) -> int:
         s = spec.strip()
         if s.endswith("%"):
             pct = int(s[:-1])
+            # exact integer floor — float truncation gave int(0.29*100)=28
             m = (
-                n_optional - int(-pct / 100.0 * n_optional)
+                n_optional - ((-pct) * n_optional) // 100
                 if pct < 0
-                else int(pct / 100.0 * n_optional)
+                else (pct * n_optional) // 100
             )
         else:
             m = int(s)

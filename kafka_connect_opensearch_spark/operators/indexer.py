@@ -588,6 +588,7 @@ def build_index(
             metas, _ = _build_segments_pipeline(
                 spark, wave_docs, root, config, content_col,
                 job_tag=f"wave_{os.path.basename(index_dir)}_{wave[0]:04d}",
+                seg_names=[f"seg_g0_b{b:04d}" for b in wave],
             )
             by_name = {m.name: m for m in metas}
             for b in wave:
@@ -659,7 +660,10 @@ def build_index_bulk(
         ),
     )
     metas, obs = _build_segments_pipeline(
-        spark, docs, root, config, content_col, job_tag=bulk_id
+        spark, docs, root, config, content_col, job_tag=bulk_id,
+        seg_names=[
+            f"seg_{tag}_b{b:04d}" for b in range(config.num_segments)
+        ],
     )
     call_with_retries(
         f"commit {bulk_id}",
@@ -689,19 +693,50 @@ def _build_segments_pipeline(
     config: EngineConfig,
     content_col: str,
     job_tag: str,
+    seg_names: list[str],
 ) -> tuple[list[SegmentMeta], dict]:
     """Build every segment named by ``docs.seg`` in ONE pipeline: one doc
     shuffle, one packed-partials shuffle, two Hive-partitioned writes under
     ``root``. Shared by the bulk initial load (all segments) and the
-    micro-batched ingest's wave commits (a few segments per wave)."""
+    micro-batched ingest's wave commits (a few segments per wave).
+    ``seg_names``: the closed set of values ``docs.seg`` can take (callers
+    derive the column, so they know it) — drives the per-segment
+    Observation stats without a discovery job."""
     from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
 
     spread = docs.repartition(config.shuffle_partitions, "doc_id")
     analyzed = add_analysis(spread, content_col)
 
+    # With positions on, THREE write actions consume this lineage (docs,
+    # postings, positions) and each re-runs scan + sha256 identity + doc
+    # shuffle + tokenize. A disk-backed cache of the analyzed frame
+    # amortizes that across consumers (guide §5: reuse > recompute when
+    # recompute is this wide). For the two-consumer positions-off path the
+    # r6 A/B measured the cache break-even, so it stays off there.
+    cached = None
+    if config.index_positions:
+        cached = analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+        analyzed = cached
+
+    # Per-segment stats ride the two write jobs as Observation conditional
+    # aggregates over the (small, known) segment-name set — the previous
+    # read-back (two groupBy jobs over the ~500 just-written files)
+    # measured ~2.9 s per bulk build at local[32], pure overhead
+    # (guide §1.2: don't compute things twice).
+    seg_names = sorted(seg_names)
     doc_obs = Observation(f"{job_tag}_docs")
     analyzed.select(*DOCS_COLUMNS, "seg").observe(
-        doc_obs, F.count(F.lit(1)).alias("n")
+        doc_obs,
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.col("seg") == s, 1)).alias(f"n_{i}")
+            for i, s in enumerate(seg_names)
+        ],
+        *[
+            F.sum(F.when(F.col("seg") == s, F.col("dl"))).alias(f"sdl_{i}")
+            for i, s in enumerate(seg_names)
+        ],
     ).write.partitionBy("seg").mode("overwrite").parquet(f"{root}/docs.parquet")
 
     partial = analyzed.select("seg", "doc_id", "dl", "tokens").mapInArrow(
@@ -717,8 +752,15 @@ def _build_segments_pipeline(
     post_obs = Observation(f"{job_tag}_post")
     post.observe(
         post_obs,
-        F.count(F.lit(1)).alias("terms"),
         F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
+        *[
+            F.count(F.when(F.col("seg") == s, 1)).alias(f"t_{i}")
+            for i, s in enumerate(seg_names)
+        ],
+        *[
+            F.sum(F.when(F.col("seg") == s, F.col("df"))).alias(f"p_{i}")
+            for i, s in enumerate(seg_names)
+        ],
     ).write.partitionBy("seg").mode("overwrite").parquet(
         f"{root}/postings.parquet"
     )
@@ -726,43 +768,36 @@ def _build_segments_pipeline(
     if config.index_positions:
         from kafka_connect_opensearch_spark.operators import positions as pos
 
+        # "rb" (term prefix bucket) clusters files by term range so
+        # point-term reads prune to their buckets — see
+        # positions.build_segment_positions
         pos.build_segment_positions(analyzed, config).write.partitionBy(
-            "seg"
+            "seg", "rb"
         ).mode("overwrite").parquet(f"{root}/positions.parquet")
 
-    # per-segment stats: two small aggregations over the written files
-    dstats = {
-        r["seg"]: r
-        for r in spark.read.parquet(f"{root}/docs.parquet")
-        .groupBy("seg")
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
-        .collect()
-    }
-    pstats = {
-        r["seg"]: r
-        for r in spark.read.parquet(f"{root}/postings.parquet")
-        .groupBy("seg")
-        .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
-        .collect()
-    }
+    dstat, pstat = doc_obs.get, post_obs.get
     metas = []
-    for seg in sorted(dstats):
-        d, p = dstats[seg], pstats.get(seg)
+    for i, seg in enumerate(seg_names):
+        n = int(dstat[f"n_{i}"] or 0)
+        if n == 0:
+            continue  # segment with no docs writes no partition
         metas.append(
             SegmentMeta(
                 name=seg,
                 generation=0,
-                doc_count=int(d["n"]),
-                sum_dl=int(d["sdl"] or 0),
-                n_terms=int(p["terms"]) if p else 0,
-                n_postings=int(p["postings"]) if p else 0,
+                doc_count=n,
+                sum_dl=int(dstat[f"sdl_{i}"] or 0),
+                n_terms=int(pstat[f"t_{i}"] or 0),
+                n_postings=int(pstat[f"p_{i}"] or 0),
                 path=root,
             )
         )
     obs = {
-        "docs": int(doc_obs.get["n"]),
-        "postings": int(post_obs.get["postings"]),
+        "docs": int(dstat["n"]),
+        "postings": int(pstat["postings"]),
     }
+    if cached is not None:
+        cached.unpersist(blocking=True)
     return metas, obs
 
 
@@ -821,9 +856,11 @@ def _build_one_segment(
     if config.index_positions:
         from kafka_connect_opensearch_spark.operators import positions as pos
 
-        pos.build_segment_positions(analyzed, config, seg_name=seg_name).write.mode(
-            "overwrite"
-        ).parquet(f"{seg_path}/positions.parquet")
+        pos.build_segment_positions(
+            analyzed, config, seg_name=seg_name
+        ).write.partitionBy("rb").mode("overwrite").parquet(
+            f"{seg_path}/positions.parquet"
+        )
 
     dstat, pstat = doc_obs.get, post_obs.get
     meta = SegmentMeta(

@@ -163,6 +163,24 @@ def merge_segments(
     # deletes), silently overwriting a segment directory
     seg_name = f"seg_g{new_gen}_m{int(time.time())}_{uuid.uuid4().hex[:8]}"
 
+    # Disjoint-segment fast path (the common tiered-merge shape: a
+    # hash-partitioned build never re-ingests a doc into two segments).
+    # When no doc_id appears twice and there are no deletes, latest-wins
+    # is the identity — so the decode-explode of every posting entry, the
+    # winners aggregation and the survivor join are pure overhead
+    # (guide §2.3: shuffle the packed bytes, not the exploded rows). The
+    # probe is one ids-only columnar count compared against the manifest
+    # doc counts.
+    if delete_doc_keys is None:
+        total_docs = sum(m.doc_count for m in metas)
+        distinct_docs = (
+            store.read_docs(spark, metas).select("doc_id").distinct().count()
+        )
+        if distinct_docs == total_docs:
+            return _merge_disjoint(
+                spark, store, metas, names, seg_name, new_gen, config, t0
+            )
+
     docs_parts = []
     for m in metas:
         docs_parts.append(
@@ -205,11 +223,22 @@ def merge_segments(
         winners.select("doc_id", "_segname"), ["doc_id", "_segname"], "inner"
     ).select("term", "doc_id", "tf", "dl")
 
+    from pyspark.sql import Observation
+
     seg_path = store.segment_path(seg_name)
-    winners.select("doc_id", "doc_key", "content_sha256", "dl").write.mode(
-        "overwrite"
-    ).parquet(f"{seg_path}/docs.parquet")
+    doc_obs = Observation(f"{seg_name}_docs")
+    winners.select("doc_id", "doc_key", "content_sha256", "dl").observe(
+        doc_obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+    ).write.mode("overwrite").parquet(f"{seg_path}/docs.parquet")
     post = build_segment_postings(survivors, seg_name, config)
+    post_obs = Observation(f"{seg_name}_post")
+    post = post.observe(
+        post_obs,
+        F.count(F.lit(1)).alias("t"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("p"),
+    )
     # already term-partitioned + sorted (see indexer._build_one_segment)
     post.write.mode("overwrite").parquet(f"{seg_path}/postings.parquet")
 
@@ -230,23 +259,123 @@ def merge_segments(
         ).select(
             "term", "seg", "part", "n_docs",
             "doc_ids", "pos_counts", "positions",
-        ).write.mode("overwrite").parquet(f"{seg_path}/positions.parquet")
+        ).withColumn(
+            "rb", F.substring("term", 1, 1)
+        ).write.partitionBy("rb").mode("overwrite").parquet(
+            f"{seg_path}/positions.parquet"
+        )
 
-    drow = (
-        spark.read.parquet(f"{seg_path}/docs.parquet")
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
-        .collect()[0]
-    )
-    prow = (
-        spark.read.parquet(f"{seg_path}/postings.parquet")
-        .agg(F.count("*").alias("t"), F.coalesce(F.sum("df"), F.lit(0)).alias("p"))
-        .collect()[0]
-    )
+    # stats ride the write jobs (Observation) — the prior read-back of the
+    # just-written files was two extra jobs per merge
+    drow, prow = doc_obs.get, post_obs.get
     meta = SegmentMeta(
         name=seg_name,
         generation=new_gen,
         doc_count=int(drow["n"]),
         sum_dl=int(drow["s"]),
+        n_terms=int(prow["t"]),
+        n_postings=int(prow["p"]),
+    )
+    store.write_segmeta(meta)
+    call_with_retries(
+        f"commit merge {seg_name}",
+        lambda: store.commit_batch(
+            f"merge_{seg_name}",
+            {"batch": f"merge_{seg_name}", "segments": [meta.__dict__],
+             "replaces": names},
+        ),
+        max_retries=config.max_retries,
+        retry_backoff_ms=config.retry_backoff_ms,
+    )
+    out = BuildMetrics(
+        docs_indexed=meta.doc_count,
+        postings_written=meta.n_postings,
+        segments_built=1,
+        segments_merged=len(names),
+    )
+    out.wall_secs = time.monotonic() - t0
+    return out
+
+
+def _merge_disjoint(
+    spark: SparkSession,
+    store: SegmentStore,
+    metas: list[SegmentMeta],
+    names: list[str],
+    seg_name: str,
+    new_gen: int,
+    config: EngineConfig,
+    t0: float,
+) -> BuildMetrics:
+    """Merge segments with pairwise-disjoint doc ids (no deletes): every
+    doc and posting survives verbatim, so the rewrite reduces to
+
+    - docs: verbatim union write (no winners aggregation, no join);
+    - postings: the stored packed rows ARE valid level-1 partials
+      (term, delta-varint doc_ids/tfs/dls) — regroup them by term and run
+      the standard level-2 sorted-run merge. The shuffle carries one
+      packed row per (term, source segment) instead of one exploded row
+      per posting (~20x fewer bytes; the r6 A/B measured auto_merge
+      12.9 s -> see BENCH/ROUND6.md);
+    - positions: per-doc blobs concat byte-for-byte (same as the slow
+      path, minus the survivor join).
+
+    Doc stats come from manifest arithmetic (exact under disjointness);
+    term stats ride the postings write as an Observation.
+    """
+    from pyspark.sql import Observation
+
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        _make_merge_stream,
+    )
+    from kafka_connect_opensearch_spark.operators.segments import (
+        POSTINGS_SCHEMA,
+    )
+
+    seg_path = store.segment_path(seg_name)
+    store.read_docs(spark, metas).select(
+        "doc_id", "doc_key", "content_sha256", "dl"
+    ).write.mode("overwrite").parquet(f"{seg_path}/docs.parquet")
+
+    partial = store.read_postings(spark, metas).select(
+        "term", "doc_ids", "tfs", "dls"
+    )
+    l2 = partial.repartition(
+        max(2, config.shuffle_partitions // 4), "term"
+    ).sortWithinPartitions("term")
+    post = l2.mapInPandas(
+        _make_merge_stream(seg_name, config.block_size), schema=POSTINGS_SCHEMA
+    )
+    post_obs = Observation(f"{seg_name}_post")
+    post.observe(
+        post_obs,
+        F.count(F.lit(1)).alias("t"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("p"),
+    ).write.mode("overwrite").parquet(f"{seg_path}/postings.parquet")
+
+    if store.meta().get("positions"):
+        from kafka_connect_opensearch_spark.operators import positions as pos
+
+        decoded_pos = pos.decode_positions_df(
+            store.read_positions(spark, metas)
+        ).select("term", "doc_id", "n_pos", "pos_blob")
+        pos.repack_positions(decoded_pos, config).withColumn(
+            "seg", F.lit(seg_name)
+        ).select(
+            "term", "seg", "part", "n_docs",
+            "doc_ids", "pos_counts", "positions",
+        ).withColumn(
+            "rb", F.substring("term", 1, 1)
+        ).write.partitionBy("rb").mode("overwrite").parquet(
+            f"{seg_path}/positions.parquet"
+        )
+
+    prow = post_obs.get
+    meta = SegmentMeta(
+        name=seg_name,
+        generation=new_gen,
+        doc_count=sum(m.doc_count for m in metas),
+        sum_dl=sum(m.sum_dl for m in metas),
         n_terms=int(prow["t"]),
         n_postings=int(prow["p"]),
     )

@@ -122,23 +122,33 @@ def cumsum_with_resets(deltas: np.ndarray, run_starts: np.ndarray) -> np.ndarray
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array, vectorized.
 
-    Per-value byte runs are contiguous, so the fold is a single
-    ``np.add.reduceat`` over value start offsets — ~5-10× faster than the
-    scatter-add (``ufunc.at``) it replaces on position-list-sized inputs."""
+    All-1-byte buffers (the common case for position/doc-id deltas)
+    return in one pass. Otherwise values fold by byte position: at most
+    ``max value length`` gathers, each over only the values that long —
+    for >90%-1-byte streams that is ~1.1 passes over the data, replacing
+    the former arange + repeat + reduceat construction (3 full-size
+    temporaries; the r6 cProfile of a cold stopword phrase put 0.92 s of
+    1.35 s in it)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    is_last = (b & 0x80) == 0
-    ends = np.nonzero(is_last)[0]
+    cont = (b & 0x80) != 0
+    if not cont.any():
+        return b.astype(np.uint64)
+    ends = np.nonzero(~cont)[0]
     starts = np.empty(ends.size, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    pos_in_value = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
-    contrib = (b & 0x7F).astype(np.uint64) << (
-        7 * pos_in_value.astype(np.uint64)
-    )
-    return np.add.reduceat(contrib, starts)
+    vals = (b[starts] & 0x7F).astype(np.int64)
+    max_len = int(lens.max())
+    sel = None
+    for k in range(1, max_len):
+        sel = np.nonzero(lens > k)[0] if sel is None else sel[
+            lens[sel] > k
+        ]
+        vals[sel] |= (b[starts[sel] + k] & 0x7F).astype(np.int64) << (7 * k)
+    return vals.view(np.uint64)
 
 
 def encode_postings(

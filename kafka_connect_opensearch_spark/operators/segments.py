@@ -112,12 +112,21 @@ class SegmentStore:
 
     # -- segments
     def active_segments(self) -> list[SegmentMeta]:
-        """Segments referenced by committed manifests, minus merged-away ones."""
+        """Segments referenced by committed manifests, minus merged-away ones.
+
+        A relative bulk ``path`` resolves against THIS store's index dir:
+        snapshots write their pinned manifests with snapshot-relative
+        paths, so a snapshot (and anything restored from it) reads its
+        own copied files — never the source index's — and survives the
+        source being moved or deleted."""
         live: dict[str, SegmentMeta] = {}
         dead: set[str] = set()
         for entry in self.committed_batches().values():
             for seg in entry.get("segments", []):
-                live[seg["name"]] = SegmentMeta(**seg)
+                m = SegmentMeta(**seg)
+                if m.path and not os.path.isabs(m.path):
+                    m.path = os.path.join(self.index_dir, m.path)
+                live[seg["name"]] = m
             dead.update(entry.get("replaces", []))
         return [m for n, m in sorted(live.items()) if n not in dead]
 
@@ -172,14 +181,16 @@ class SegmentStore:
 
         metas = self.active_segments() if metas is None else metas
         dfs = []
-        classic = [m for m in metas if not m.path]
-        if classic:
-            dfs.append(
-                spark.read.parquet(
-                    *[f"{self.segment_path(m.name)}/positions.parquet"
-                      for m in classic]
+        # one read per classic root: each root is its own hive table now
+        # (rb=<prefix> partition dirs) and multi-root partition discovery
+        # rejects them as conflicting structures
+        for m in metas:
+            if not m.path:
+                dfs.append(
+                    spark.read.parquet(
+                        f"{self.segment_path(m.name)}/positions.parquet"
+                    )
                 )
-            )
         roots: dict[str, list[str]] = {}
         for m in metas:
             if m.path:
@@ -190,9 +201,12 @@ class SegmentStore:
                     F.col("seg").isin(names)
                 )
             )
-        out = dfs[0]
+        # "rb" is a file-clustering partition column (term prefix), not
+        # data; dropping it (lenient no-op where absent) keeps pre-r6 and
+        # r6 layouts union-compatible
+        out = dfs[0].drop("rb")
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d.drop("rb"))
         return out
 
     def read_docs(self, spark, metas: list[SegmentMeta] | None = None,

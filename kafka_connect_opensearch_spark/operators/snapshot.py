@@ -97,7 +97,12 @@ def snapshot_index(index_dir: str, snapshot_dir: str) -> dict:
     dead: set[str] = set()
     for entry in batches.values():
         for seg in entry.get("segments", []):
-            live[seg["name"]] = SegmentMeta(**seg)
+            m = SegmentMeta(**seg)
+            if m.path and not os.path.isabs(m.path):
+                # snapshotting a snapshot/restored index: resolve its
+                # relative bulk paths against its own dir first
+                m.path = os.path.join(index_dir, m.path)
+            live[seg["name"]] = m
         dead.update(entry.get("replaces", []))
     active = [m for n, m in sorted(live.items()) if n not in dead]
 
@@ -124,11 +129,27 @@ def snapshot_index(index_dir: str, snapshot_dir: str) -> dict:
     # Manifests last: the snapshot becomes a valid index only once the
     # files it references are all in place (same write-then-commit
     # ordering as the live store).
+    # Bulk segment entries are rewritten to SNAPSHOT-RELATIVE paths (the
+    # same ``rel`` the file copy used): readers resolve them against the
+    # snapshot's own dir (SegmentStore.active_segments), so the snapshot
+    # is self-contained — it never references the source index's files,
+    # and restore_index copies keep working wherever they land.
     snap_store = SegmentStore(snapshot_dir)
     os.makedirs(snap_store.manifest_dir, exist_ok=True)
     os.makedirs(snap_store.segments_dir, exist_ok=True)
     for batch_id, entry in batches.items():
-        snap_store.commit_batch(batch_id, entry)
+        pinned = dict(entry)
+        segs_out = []
+        for seg in entry.get("segments", []):
+            seg = dict(seg)
+            if seg.get("path"):
+                p = seg["path"]
+                if not os.path.isabs(p):
+                    p = os.path.join(index_dir, p)
+                seg["path"] = os.path.relpath(p, index_dir)
+            segs_out.append(seg)
+        pinned["segments"] = segs_out
+        snap_store.commit_batch(batch_id, pinned)
     n_files = sum(len(fs) for _, _, fs in os.walk(snapshot_dir))
     return {"source": os.path.abspath(index_dir),
             "snapshot": os.path.abspath(snapshot_dir),

@@ -84,13 +84,23 @@ class _SegmentScanReader(DataSourceReader):
         self.files: list[tuple[str, str]] = json.loads(options["files"])
         self.terms: list[str] | None = None
 
+    def _restrict_terms(self, values: list[str]) -> None:
+        # successive term predicates intersect (term = 'x' AND term IN
+        # (...)): claiming both while keeping only the last would return
+        # rows the dropped predicate excludes
+        if self.terms is None:
+            self.terms = list(values)
+        else:
+            keep = set(values)
+            self.terms = [t for t in self.terms if t in keep]
+
     def pushFilters(self, filters):  # noqa: N802 (API name)
         unsupported = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("term",):
-                self.terms = [f.value]
+                self._restrict_terms([f.value])
             elif isinstance(f, In) and f.attribute == ("term",):
-                self.terms = list(f.value)
+                self._restrict_terms(list(f.value))
             elif isinstance(f, EqualTo) and f.attribute == ("seg",):
                 self.files = [p for p in self.files if p[0] == f.value]
             elif isinstance(f, In) and f.attribute == ("seg",):

@@ -274,3 +274,41 @@ def test_snapshot_consistent_under_live_writer(spark, tmp_path):
         stop.set()
         t.join(120)
     assert counts_seen  # writer made progress alongside the snapshots
+
+
+def test_snapshot_of_bulk_index_is_self_contained(spark, tmp_path):
+    """A snapshot of a BULK-layout index must not reference the source
+    index's files: its pinned manifests carry snapshot-relative paths,
+    so queries keep working after the source index is deleted (r5 ADVICE
+    #1 — previously the copied seg=<name> partitions were never read and
+    the snapshot silently tracked the source)."""
+    import shutil
+
+    from kafka_connect_opensearch_spark.operators.indexer import (
+        build_index_bulk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    cfg = EngineConfig(num_segments=2, salt_partitions=2,
+                       shuffle_partitions=2)
+    d = str(tmp_path / "bulk_idx")
+    build_index_bulk(spark, docs, d, cfg, content_col="text",
+                     doc_id_col="doc_id")
+    assert IndexReader(spark, d).match_count("alpha", "or") == 2
+
+    snap_dir = str(tmp_path / "snap")
+    snap.snapshot_index(d, snap_dir)
+    shutil.rmtree(d)  # source gone — the snapshot must stand alone
+
+    r = IndexReader(spark, snap_dir)
+    assert r.match_count("alpha", "or") == 2
+    assert r.doc_count() == 3
+
+    restored = snap.restore_index(snap_dir, str(tmp_path / "restored"))
+    shutil.rmtree(snap_dir)  # restored copy must not track the snapshot
+    r2 = IndexReader(spark, restored)
+    assert r2.match_count("alpha", "or") == 2
+    assert r2.doc_count() == 3
