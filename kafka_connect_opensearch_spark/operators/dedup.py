@@ -384,34 +384,50 @@ def simhash_near_dup_pairs(
     one band. Candidates come from a band-equality self-join (shuffle keyed
     by (band, value) — never a cartesian product); the exact popcount
     verify then filters false candidates. Identical results to the
-    all-pairs definition."""
+    all-pairs definition.
+
+    r6 shape notes: the ``bit_count`` verify and a first-agreeing-band
+    guard run INSIDE the join's codegen, before any further shuffle — a
+    pair is emitted only by its lowest agreeing band, so the closing
+    dedup shuffle carries each qualifying pair once instead of once per
+    agreeing band (the true pair set is large on near-dup-heavy corpora:
+    12.5M pairs at sf1.0). The distinct() stays as a cheap invariant
+    net over the already-unique stream."""
     s = simhash(df, text_col, id_col, bits)
     nb = max_distance + 1
     sizes = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
-    entries = []
+    offs = []
     off = 0
-    for i, width in enumerate(sizes):
-        entries.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.expr(
-                    f"shiftright(simhash, {off}) & {(1 << width) - 1}"
-                ).alias("val"),
-            )
-        )
+    for width in sizes:
+        offs.append((off, width))
         off += width
+    entries = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(
+                f"shiftright(simhash, {o}) & {(1 << w) - 1}"
+            ).alias("val"),
+        )
+        for i, (o, w) in enumerate(offs)
+    ]
     banded = s.select(
         "id", "simhash", F.explode(F.array(*entries)).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.val")
     a = banded.alias("a")
     b = banded.alias("b")
-    # The exact-popcount verify runs BEFORE the cross-band dedup: hamming
-    # is a pure function of the pair, so filter∘distinct ≡ distinct∘filter
-    # — but the filter side feeds the distinct's shuffle only the
-    # qualifying pairs (≤ near-dup count) instead of every bucket
-    # collision (quadratic in bucket occupancy; 88M rows at sf1.0, the r6
-    # A/B measured 83 s -> ~2 s). bit_count makes the pre-dedup verify a
-    # single intrinsic per candidate.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # A pair is emitted ONLY by its lowest agreeing band: for every band
+    # i below this row's band, the pair must DISagree there (the XOR has
+    # ≥1 set bit in band i's window). For i ≥ the current band the term
+    # is vacuously true via band <= i.
+    first_band = F.lit(True)
+    for i, (o, w) in enumerate(offs[:-1]):
+        window_i = F.expr(
+            f"shiftright(a.simhash ^ b.simhash, {o}) & {(1 << w) - 1}"
+        )
+        first_band = first_band & (
+            (F.col("a.band") <= F.lit(i)) | (window_i != 0)
+        )
     return (
         a.join(
             b,
@@ -419,13 +435,13 @@ def simhash_near_dup_pairs(
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .filter((F.col("hamming") <= max_distance) & first_band)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming_distance(
-                F.col("a.simhash"), F.col("b.simhash")
-            ).alias("hamming"),
+            "hamming",
         )
-        .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+

@@ -705,7 +705,19 @@ def _build_segments_pipeline(
     from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
-    spread = docs.repartition(config.shuffle_partitions, "doc_id")
+    # The doc shuffle exists to spread tokenization/packing evenly (it
+    # doubles as the stopword salt) — but ANY even partitioning spreads a
+    # hot term's postings the same way, docs are one row each (the
+    # positions part-disjointness holds under any partitioning), and this
+    # lineage re-executes once per write action. When the source already
+    # arrives with enough scan partitions (size-bounded by
+    # maxPartitionBytes), the exchange is pure overhead paid 2-3x.
+    n_in = docs.rdd.getNumPartitions()
+    spread = (
+        docs
+        if n_in >= config.shuffle_partitions
+        else docs.repartition(config.shuffle_partitions, "doc_id")
+    )
     analyzed = add_analysis(spread, content_col)
 
     # With positions on, THREE write actions consume this lineage (docs,
