@@ -190,6 +190,52 @@ def query_bucket(query_vec, planes: list[list[int]]) -> int:
     return b
 
 
+def _seq_cosine(va, vb):
+    """Cosine with the exact left-to-right fp64 fold the JVM
+    zip_with/aggregate expressions use — bit-identical reference for
+    rounding-boundary pairs."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb_ = 0.0
+    for x, y in zip(va, vb, strict=True):
+        dot = dot + x * y
+    for x in va:
+        na = na + x * x
+    for y in vb:
+        nb_ = nb_ + y * y
+    denom = math.sqrt(na) * math.sqrt(nb_)
+    return dot / denom if denom != 0.0 else float("nan")
+
+
+def _cosine_pairs_dense(ids_a, Xa, ids_b, Xb, prefilter, round_to):
+    """(id_a < id_b) cross pairs with cosine ≥ prefilter as numpy arrays
+    (ids_a/ids_b int64, Xa/Xb row-major float64): one BLAS gram block,
+    zero-vector rows yield NaN (dropped by the prefilter like the JVM
+    NULL), and pairs within 1e-6·10^-round_to of a round-half boundary
+    are recomputed with :func:`_seq_cosine` so the Spark-side round()
+    matches the zip_with formulation bit-for-bit."""
+    import numpy as np
+
+    na = np.sqrt(np.einsum("ij,ij->i", Xa, Xa))
+    nb_ = np.sqrt(np.einsum("ij,ij->i", Xb, Xb))
+    G = Xa @ Xb.T
+    denom = na[:, None] * nb_[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom != 0.0, G / denom, np.nan)
+    ia, ib = np.nonzero(
+        (cos >= prefilter) & (ids_a[:, None] < ids_b[None, :])
+    )
+    raw = cos[ia, ib]
+    if raw.size:
+        scaled = raw * (10.0 ** round_to)
+        frac = np.abs(scaled - np.floor(scaled) - 0.5)
+        for j in np.nonzero(frac < 1e-6)[0]:
+            raw[j] = _seq_cosine(Xa[ia[j]].tolist(), Xb[ib[j]].tolist())
+    return ids_a[ia], ids_b[ib], raw
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -206,46 +252,79 @@ def lsh_near_dup_pairs(
 
     The all-pairs crossJoin is O(n²) and exists only as a correctness
     baseline; this is the 100 TB path: one bucket projection, a neighbor
-    expansion bounded by C(n_planes, ≤radius) rows per vector, and a join
-    keyed on bucket — never a cartesian product. Precision is exact (every
-    candidate is cosine-verified); recall is the sign-LSH collision
-    probability (rising with probe_radius). Buckets are integer-
-    deterministic (md5 planes over quantized vectors), so a SQL oracle
-    reproduces the candidate set bit-identically."""
+    expansion bounded by C(n_planes, ≤radius) rows per vector, and a
+    shuffle keyed on the PROBED bucket — never a cartesian product. The
+    verify runs per probed-bucket group in ``applyInPandas`` (one BLAS
+    gram block of probers × members, boundary pairs re-folded in JVM
+    order — see :func:`_cosine_pairs_dense`); the former formulation
+    pushed every candidate with both vector payloads through a JVM join
+    + pair dedup, which did not finish one sf1.0 run in 10 minutes.
+    Precision is exact (every candidate is cosine-verified); recall is
+    the sign-LSH collision probability (rising with probe_radius).
+    Buckets are integer-deterministic (md5 planes over quantized
+    vectors), so a SQL oracle reproduces the candidate set
+    bit-identically. A pair (a < b) is emitted exactly once — by the
+    unique probe mask a ⊕ b of the a-probes-b direction."""
+    import numpy as np
+    import pandas as pd
+
     planes = int_hyperplanes(dim, n_planes)
     b = with_lsh_bucket(df, planes, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
     )
     masks = _hamming_neighbors(0, n_planes, probe_radius)  # XOR masks
-    a = b.select(
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("bucket").alias("ba"),
+    probers = b.select(
+        "id", "vec", "bucket",
         F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
-    ).withColumn("nbr", F.col("ba").bitwiseXOR(F.col("m")))
-    cand = (
-        a.join(
-            b.select(
-                F.col("id").alias("id_b"),
-                F.col("vec").alias("vb"),
-                F.col("bucket").alias("bb"),
-            ),
-            (F.col("nbr") == F.col("bb")) & (F.col("id_a") < F.col("id_b")),
-        )
-        # a pair within distance < radius collides via several masks
-        .dropDuplicates(["id_a", "id_b"])
+        F.lit(0).alias("side"),
+    ).select(
+        "id", "vec", F.col("bucket").bitwiseXOR(F.col("m")).alias("g"),
+        "side",
     )
+    members = b.select(
+        "id", "vec", F.col("bucket").alias("g"), F.lit(1).alias("side")
+    )
+    both = probers.unionByName(members)
+
+    eps = 1e-8
+    prefilter = threshold - 10.0 ** (-round_to) - eps
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "raw": pd.Series([], dtype="float64")}
+        )
+        side = pdf["side"].to_numpy()
+        pm = pdf[side == 0]
+        mm = pdf[side == 1]
+        if not len(pm) or not len(mm):
+            return empty
+        ids_a = pm["id"].to_numpy(dtype=np.int64)
+        ids_b = mm["id"].to_numpy(dtype=np.int64)
+        Xa = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pm["vec"]]
+        )
+        Xb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in mm["vec"]]
+        )
+        ia, ib, raw = _cosine_pairs_dense(
+            ids_a, Xa, ids_b, Xb, prefilter, round_to
+        )
+        if ia.size == 0:
+            return empty
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "raw": raw})
+
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), round_to
-            ).alias("cosine"),
+        both.groupBy("g")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, raw double")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("raw"), round_to).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
-
 
 def lsh_banded_near_dup_pairs(
     df: DataFrame,
@@ -263,16 +342,22 @@ def lsh_banded_near_dup_pairs(
     AND-OR scheme applied to sign-LSH), then every candidate is
     exact-cosine-verified ≥ ``threshold``.
 
-    vs the Hamming-radius probe (:func:`lsh_near_dup_pairs`): banding
-    needs no neighbor expansion (no C(n_planes, r) probe blowup) and its
-    recall for per-bit collision probability p = 1 − θ/π is
-    ``1 − (1 − p^band_bits)^n_bands`` — tune band_bits UP for selectivity
-    (high thresholds: 8-16 bits/band keeps candidates ~n²/2^bits per
-    band) and DOWN for recall on looser thresholds. Precision is always
-    exact (cosine-verified). Candidates come from per-band equi-joins —
-    never a cartesian product — and the integer-deterministic buckets
-    mean a SQL oracle reproduces the candidate set bit-identically.
+    The verify runs per (band, key) bucket inside ``applyInPandas``: one
+    BLAS gram matrix per bucket replaces the former candidate self-join,
+    which materialized every bucket collision WITH both 64-dim vector
+    payloads through the JVM join + a pair-dedup shuffle (~10^8 rows ×
+    ~1 KB at sf1.0 — the r6 A/B could not finish one run in 19 min; this
+    shape takes seconds). Results are bit-identical to the
+    zip_with/aggregate formulation: pairs whose cosine lies within 1e-8
+    of a round-half or threshold boundary — the only ones where BLAS
+    summation order could flip the rounded value — are recomputed with
+    the JVM fold's exact left-to-right order, and rounding + the
+    threshold cut stay in Spark. Never a cartesian product; cross-band
+    duplicate finds collapse in one distinct over identical rows.
     """
+    import numpy as np
+    import pandas as pd
+
     planes = int_hyperplanes(dim, n_planes)
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
@@ -286,33 +371,43 @@ def lsh_banded_near_dup_pairs(
     bands = b.select(
         "id", "vec", F.posexplode(keys).alias("band", "key")
     )
-    cand = (
-        bands.select(
-            F.col("id").alias("id_a"), F.col("vec").alias("va"),
-            "band", "key",
+
+    # margin below which a rounded comparison could differ across
+    # summation orders (double ulp at cos≈1 is ~2e-16; 1e-8 is overkill)
+    eps = 1e-8
+    prefilter = threshold - 10.0 ** (-round_to) - eps
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "raw": pd.Series([], dtype="float64")}
         )
-        .join(
-            bands.select(
-                F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-                "band", "key",
-            ),
-            ["band", "key"],
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can agree on several bands — one verify per pair
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), round_to
-            ).alias("cosine"),
+        ia, ib, raw = _cosine_pairs_dense(
+            ids, X, ids, X, prefilter, round_to
+        )
+        if ia.size == 0:
+            return empty
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "raw": raw})
+
+    verified = (
+        bands.groupBy("band", "key")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, raw double")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("raw"), round_to).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
-
+    return verified
 
 def lsh_bucketed_topk(
     df: DataFrame,
