@@ -702,7 +702,10 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256) → deterministic stratified sample. One declarative plan —
     Catalyst fuses the filters, the only shuffles are the dedup digest
     groupBy and nothing else (sampling is per-row math)."""
-    docs = _read(spark, sf_dir, "documents")
+    # _spread: the single-row-group scan otherwise serializes the fused
+    # quality projection + sha256 onto one task (r6 A/B: 6.3-7.4 s ->
+    # 3.1-3.8 s at sf1.0)
+    docs = _spread(spark, _read(spark, sf_dir, "documents"), "doc_id")
     staged = docs.filter(F.col("lang").isin(FUNNEL_LANGS))
     # quality computed INLINE (ts.quality_columns) — a projection fused
     # into the scan filter, not a self-join; the funnel's only shuffle
