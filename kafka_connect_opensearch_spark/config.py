@@ -129,6 +129,14 @@ class EngineConfig:
     # (phrase/NEAR/phrase-BM25 queries); build cost ≈ one extra tokenized
     # pass + a corpus-sized store, so it is a per-index mapping choice.
     index_positions: bool = False
+    # Cache the analyzed (tokenized) frame across the build pipeline's
+    # write actions (docs/postings/positions each re-execute the
+    # scan+identity+tokenize lineage otherwise). None = auto: on when
+    # positions triple the consumer count, off for the two-consumer
+    # path (measured break-even there — the token-array cache write
+    # costs what one recompute saves). Disk-backed, unpersisted at the
+    # end of the pipeline.
+    cache_analyzed: bool | None = None
     # --- BM25 ---
     k1: float = BM25_K1
     b: float = BM25_B

@@ -569,12 +569,16 @@ def build_index(
         # grouping (OpenSearchClient.java:145-155): durability granularity
         # stays the micro-batch (a crash mid-wave re-runs only that wave),
         # but per-job fixed latency is paid once per wave, not per batch.
+        # Single-batch waves run through the SAME pipeline (no classic
+        # special case): one code path means one set of pack/merge UDFs
+        # and one generated-code shape, so a small warm-up build primes
+        # the python workers and codegen cache for every later build —
+        # the r6 stage isolation showed the by-seg pipeline's first run
+        # paying ~3 s of cold start that the classic-path warm-up never
+        # touched.
         wave_size = max(1, config.ingest_wave_size)
         for wi in range(0, len(pending), wave_size):
             wave = pending[wi:wi + wave_size]
-            if len(wave) == 1:
-                _accumulate(metrics, run_batch(wave[0]))
-                continue
             root = store.bulk_path(f"g0w{wave[0]:04d}")
             wave_docs = docs.filter(
                 F.col("_batch").isin([int(b) for b in wave])
@@ -727,7 +731,12 @@ def _build_segments_pipeline(
     # recompute is this wide). For the two-consumer positions-off path the
     # r6 A/B measured the cache break-even, so it stays off there.
     cached = None
-    if config.index_positions:
+    want_cache = (
+        config.cache_analyzed
+        if config.cache_analyzed is not None
+        else config.index_positions
+    )
+    if want_cache:
         cached = analyzed.persist(StorageLevel.MEMORY_AND_DISK)
         analyzed = cached
 

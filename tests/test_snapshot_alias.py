@@ -88,19 +88,30 @@ def test_snapshot_is_manifest_pinned_not_walk_ordered(spark, tmp_path):
 
     d, _ = _mk_index(spark, tmp_path / "idx",
                      [(1, "alpha beta"), (2, "alpha gamma")])
-    # simulate a live writer: a fully-written segment dir whose manifest
-    # commit hasn't happened yet, plus a stray scratch file
-    segs = os.listdir(os.path.join(d, "segments"))
-    src_seg = os.path.join(d, "segments", segs[0])
-    shutil.copytree(src_seg, os.path.join(d, "segments", "inflight_seg"))
+    # simulate a live writer: a fully-written seg partition whose
+    # manifest commit hasn't happened yet, plus a stray scratch file
+    # (single-batch builds use the unified bulk layout since r6)
+    store_root = d
+    bulk_roots = [f for f in os.listdir(store_root)
+                  if f.startswith("bulk_")]
+    assert bulk_roots, "expected bulk layout for the wave-built index"
+    docs_root = os.path.join(store_root, bulk_roots[0], "docs.parquet")
+    committed = [f for f in os.listdir(docs_root) if f.startswith("seg=")]
+    shutil.copytree(
+        os.path.join(docs_root, committed[0]),
+        os.path.join(docs_root, "seg=inflight_seg"),
+    )
     with open(os.path.join(d, "scratch.tmp"), "w") as f:
         f.write("writer scratch")
 
     info = snap.snapshot_index(d, str(tmp_path / "snap"))
     sd = str(tmp_path / "snap")
-    assert not os.path.exists(os.path.join(sd, "segments", "inflight_seg"))
+    assert not os.path.exists(
+        os.path.join(sd, bulk_roots[0], "docs.parquet", "seg=inflight_seg")
+    )
     assert not os.path.exists(os.path.join(sd, "scratch.tmp"))
-    # pinned manifests are byte-identical to the live commit set
+    # pinned manifests match the live commit set except that bulk paths
+    # are rewritten snapshot-relative (self-containment, r5 ADVICE #1)
     live = sorted(os.listdir(os.path.join(d, "manifest")))
     snapm = sorted(os.listdir(os.path.join(sd, "manifest")))
     assert live == snapm
@@ -109,6 +120,12 @@ def test_snapshot_is_manifest_pinned_not_walk_ordered(spark, tmp_path):
             a = json.load(f)
         with open(os.path.join(sd, "manifest", fn)) as f:
             b = json.load(f)
+        for seg_a, seg_b in zip(a.get("segments", []),
+                                b.get("segments", []), strict=True):
+            pa, pb = seg_a.pop("path", ""), seg_b.pop("path", "")
+            if pa:
+                assert not os.path.isabs(pb)
+                assert os.path.isdir(os.path.join(sd, pb))
         assert a == b
     assert info["segments"] >= 1 and info["batches"] >= 1
     # the snapshot is a fully-functional index
