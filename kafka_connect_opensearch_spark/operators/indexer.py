@@ -286,9 +286,10 @@ def _make_merge_stream(seg_name: str | None, block_size: int):
             run_change[0] = True
             np.not_equal(d_row[1:], d_row[:-1], out=run_change[1:])
             run_starts = np.nonzero(run_change)[0]
-            ids = codec.cumsum_with_resets(d_vals.astype("int64"), run_starts)
-            tfs = t_vals.astype("int64")
-            dls = l_vals.astype("int64")
+            # decode outputs are < 2^63 — reinterpret, don't copy
+            ids = codec.cumsum_with_resets(d_vals, run_starts)
+            tfs = t_vals.view("int64")
+            dls = l_vals.view("int64")
             # regroup by (seg,)term: group index of each value via its row
             row_change = np.empty(row_terms.size, dtype=bool)
             row_change[0] = True

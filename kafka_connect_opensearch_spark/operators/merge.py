@@ -118,7 +118,7 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
             run_change[0] = True
             np.not_equal(d_row[1:], d_row[:-1], out=run_change[1:])
             ids = codec.cumsum_with_resets(
-                d_vals.astype("int64"), np.nonzero(run_change)[0]
+                d_vals, np.nonzero(run_change)[0]
             )
             counts = np.bincount(d_row, minlength=len(b))
             yield pd.DataFrame(

@@ -631,14 +631,14 @@ def _rows_to_parts(
     row_change = np.empty(d_row.size, dtype=bool)
     row_change[0] = True
     np.not_equal(d_row[1:], d_row[:-1], out=row_change[1:])
-    ids = codec.cumsum_with_resets(
-        d_vals.astype(np.int64), np.nonzero(row_change)[0]
-    )
+    # uint64 decode outputs are < 2^63 by construction — reinterpret
+    # (zero-copy view), don't astype-copy; this is the cold-path decode
+    ids = codec.cumsum_with_resets(d_vals, np.nonzero(row_change)[0])
     c_vals, _ = codec.varint_decode_concat(list(rows["pos_counts"]))
-    cnts = c_vals.astype(np.int64)
+    cnts = c_vals.view(np.int64)
     p_vals = codec.varint_decode(b"".join(rows["positions"]))
     starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-    pos = codec.cumsum_with_resets(p_vals.astype(np.int64), starts)
+    pos = codec.cumsum_with_resets(p_vals, starts)
     gid = gid_of_row[d_row]
     return gid, ids, cnts, pos
 

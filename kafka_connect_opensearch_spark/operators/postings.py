@@ -109,14 +109,24 @@ def varint_decode_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
 
 
 def cumsum_with_resets(deltas: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
-    """cumsum(deltas) restarting at each index in ``run_starts`` (first=0)."""
-    out = np.cumsum(deltas.astype(np.int64))
+    """cumsum(deltas) restarting at each index in ``run_starts`` (first=0).
+
+    uint64 inputs are reinterpreted (values here are < 2^63 by
+    construction — delta-encoded non-negative int64s), not copied; the
+    per-run base subtraction scatters base *diffs* and cumsums them
+    instead of materializing a repeat()-expanded base array (one fewer
+    full-size temporary; this sits on the cold positional decode path)."""
+    if deltas.dtype == np.uint64:
+        deltas = deltas.view(np.int64)
+    out = np.cumsum(deltas, dtype=np.int64)
     if run_starts.size <= 1:
         return out
-    run_lens = np.diff(np.append(run_starts, deltas.size))
-    bases = np.zeros(run_starts.size, dtype=np.int64)
-    bases[1:] = out[run_starts[1:] - 1]
-    return out - np.repeat(bases, run_lens)
+    bases = out[run_starts[1:] - 1]
+    spikes = np.zeros(out.size, dtype=np.int64)
+    spikes[run_starts[1]] = bases[0]
+    if run_starts.size > 2:
+        spikes[run_starts[2:]] = bases[1:] - bases[:-1]
+    return out - np.cumsum(spikes)
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
